@@ -1,0 +1,13 @@
+"""Substitution-matrix engine (builtin registry, parser, PSSM)."""
+
+from .matrix import PSSM, SQUARE, Matrix
+from .data import BLOSUM_NUMBERS, PAM_NUMBERS, PROTEIN_ALPHABET
+
+__all__ = [
+    "Matrix",
+    "SQUARE",
+    "PSSM",
+    "BLOSUM_NUMBERS",
+    "PAM_NUMBERS",
+    "PROTEIN_ALPHABET",
+]
