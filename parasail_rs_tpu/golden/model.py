@@ -265,11 +265,9 @@ def align_seqs(
     q = matrix.encode(query)
     r = matrix.encode(reference)
     sub = matrix.scores_for(q, r).astype(np.int64)
-    qb = query.encode() if isinstance(query, str) else bytes(query)
-    rb = reference.encode() if isinstance(reference, str) else bytes(reference)
-    qa = np.frombuffer(qb, dtype=np.uint8).astype(np.int32)
-    ra = np.frombuffer(rb, dtype=np.uint8).astype(np.int32)
-    is_match = qa[:, None] == ra[None, :]
+    # `matches` compares mapped indices (case-insensitive, wildcard-folded),
+    # matching parasail's profile-kernel semantics where only indices exist.
+    is_match = q[:, None] == r[None, :]
     return align(sub, is_match, open_, ext, mode, free)
 
 

@@ -1,0 +1,13 @@
+"""Device kernels: batched wavefront DP fill (XLA + Pallas paths)."""
+
+from .specs import MODES, OUTPUTS, STRATEGIES, WIDTHS, KernelKey
+from .wavefront import wavefront_align
+
+__all__ = [
+    "KernelKey",
+    "MODES",
+    "OUTPUTS",
+    "STRATEGIES",
+    "WIDTHS",
+    "wavefront_align",
+]
