@@ -1,0 +1,392 @@
+"""Aligner and AlignerBuilder: configuration -> kernel dispatch.
+
+The reference accumulates configuration as strings, composes a parasail C
+function name, and resolves a function pointer at build() time
+(src/aligner/mod.rs:67-370).  Here configuration resolves to a typed
+:class:`~parasail_rs_tpu.ops.specs.KernelKey` and ``align`` dispatches a
+batched jitted wavefront kernel; the per-pair FFI boundary of the
+reference becomes a host->device batch boundary.
+
+Config semantics preserved exactly (src/aligner/mod.rs:213-267):
+``use_stats`` disables trace (with a warning); ``use_table`` silently
+disables trace; ``use_trace`` disables table and stats (with warnings);
+``use_last_rowcol`` overrides ``use_table``.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..errors import InteriorNulByte, NoBandwidth, QueryRequired
+from ..golden.model import free_flags, walk_trace
+from ..matrices import Matrix
+from ..ops.specs import KernelKey
+from . import dispatch
+from .profile import Profile, profile_rows
+from .result import Alignment, SSWResult
+
+log = logging.getLogger("parasail_rs_tpu")
+
+
+def _as_bytes(x) -> bytes:
+    b = x.encode() if isinstance(x, str) else bytes(x)
+    if 0 in b:
+        raise InteriorNulByte("sequence contains an interior NUL byte")
+    return b
+
+
+class AlignerBuilder:
+    """Builder for :class:`Aligner` (reference: src/aligner/mod.rs:67-370).
+
+    Defaults mirror the reference exactly (src/aligner/mod.rs:86-104):
+    global (nw) mode, ``sat`` solution width, identity DNA matrix,
+    gap_open = 0, gap_extend = 0 (note: the reference's doc comments claim
+    5/2 but its code defaults to 0/0 — we follow the code), no profile,
+    striped strategy, no stats/table/trace outputs.
+    """
+
+    def __init__(self):
+        self._mode = "nw"
+        self._solution_width = "sat"
+        self._matrix = Matrix.default()
+        self._gap_open = 0
+        self._gap_extend = 0
+        self._profile = Profile.default()
+        self._allow_query_gaps: list[str] = []
+        self._allow_ref_gaps: list[str] = []
+        self._vec_strategy = "striped"
+        self._use_stats = False
+        self._use_table = ""          # "" | "table" | "rowcol"
+        self._use_trace = False
+        self._bandwidth: int | None = None
+
+    # -- mode (src/aligner/mod.rs:108-123) -----------------------------------
+    def global_(self) -> "AlignerBuilder":
+        self._mode = "nw"
+        return self
+
+    def semi_global(self) -> "AlignerBuilder":
+        self._mode = "sg"
+        return self
+
+    def local(self) -> "AlignerBuilder":
+        self._mode = "sw"
+        return self
+
+    # -- width / matrix / gaps (src/aligner/mod.rs:127-154) ------------------
+    def solution_width(self, solution_width: int | str) -> "AlignerBuilder":
+        self._solution_width = str(solution_width)
+        return self
+
+    def matrix(self, matrix: Matrix) -> "AlignerBuilder":
+        self._matrix = matrix
+        return self
+
+    def gap_open(self, gap_open: int) -> "AlignerBuilder":
+        self._gap_open = int(gap_open)
+        return self
+
+    def gap_extend(self, gap_extend: int) -> "AlignerBuilder":
+        self._gap_extend = int(gap_extend)
+        return self
+
+    # -- profile (src/aligner/mod.rs:157-160) --------------------------------
+    def profile(self, profile: Profile) -> "AlignerBuilder":
+        self._profile = profile
+        return self
+
+    # -- semi-global free ends (src/aligner/mod.rs:172-190) ------------------
+    def allow_query_gaps(self, allow_gaps: list[str]) -> "AlignerBuilder":
+        self._allow_query_gaps = list(allow_gaps)
+        return self
+
+    def allow_ref_gaps(self, allow_gaps: list[str]) -> "AlignerBuilder":
+        self._allow_ref_gaps = list(allow_gaps)
+        return self
+
+    # -- strategy (src/aligner/mod.rs:193-208) -------------------------------
+    def striped(self) -> "AlignerBuilder":
+        self._vec_strategy = "striped"
+        return self
+
+    def scan(self) -> "AlignerBuilder":
+        self._vec_strategy = "scan"
+        return self
+
+    def diag(self) -> "AlignerBuilder":
+        self._vec_strategy = "diag"
+        return self
+
+    # -- outputs with mutual exclusion (src/aligner/mod.rs:213-267) ----------
+    def use_stats(self) -> "AlignerBuilder":
+        self._use_stats = True
+        if self._use_trace:
+            log.warning(
+                "Warning: Traceback was enabled previously, but not supported "
+                "with stats. Disabling traceback")
+            self._use_trace = False
+        return self
+
+    def use_table(self) -> "AlignerBuilder":
+        self._use_table = "table"
+        if self._use_trace:
+            self._use_trace = False
+        return self
+
+    def use_last_rowcol(self) -> "AlignerBuilder":
+        self._use_table = "rowcol"
+        return self
+
+    def use_trace(self) -> "AlignerBuilder":
+        self._use_trace = True
+        if self._use_table:
+            log.warning(
+                "Warning: Table was enabled previously, but not supported "
+                "with traceback. Disabling table")
+            self._use_table = ""
+        if self._use_stats:
+            log.warning(
+                "Warning: Stats were enabled previously, but not supported "
+                "with traceback. Disabling stats")
+            self._use_stats = False
+        return self
+
+    # -- banded (src/aligner/mod.rs:333-336) ---------------------------------
+    def bandwidth(self, bandwidth: int) -> "AlignerBuilder":
+        self._bandwidth = int(bandwidth)
+        return self
+
+    # -- build (src/aligner/mod.rs:339-369) ----------------------------------
+    def build(self) -> "Aligner":
+        profile = self._profile
+        has_profile = not profile.is_null
+        stats = profile.use_stats if has_profile else self._use_stats
+        if self._use_trace:
+            outputs = "trace"
+        elif self._use_table == "table":
+            outputs = "stats_table" if stats else "table"
+        elif self._use_table == "rowcol":
+            outputs = "stats_rowcol" if stats else "rowcol"
+        elif stats:
+            outputs = "stats"
+        else:
+            outputs = "score"
+        key = KernelKey(
+            mode=self._mode,
+            free=free_flags(self._mode, self._allow_query_gaps, self._allow_ref_gaps),
+            outputs=outputs,
+            strategy=self._vec_strategy,
+            profile=has_profile,
+            width=self._solution_width,
+        )
+        matrix = profile.matrix if has_profile else self._matrix
+        return Aligner(
+            key=key,
+            matrix=matrix,
+            gap_open=self._gap_open,
+            gap_extend=self._gap_extend,
+            profile=profile,
+            bandwidth=self._bandwidth,
+        )
+
+
+class Aligner:
+    """Configured aligner (reference: src/aligner/mod.rs:372-535).
+
+    Construct via ``Aligner.new()`` (returns a builder).  Instances are
+    immutable and safe to share across threads — the reference's
+    ``unsafe Send+Sync`` (src/aligner/mod.rs:533-535) becomes functional
+    purity of the jitted dispatch here.
+    """
+
+    def __init__(self, key: KernelKey, matrix: Matrix, gap_open: int,
+                 gap_extend: int, profile: Profile, bandwidth: int | None):
+        self.key = key
+        self.matrix = matrix
+        self.gap_open = gap_open
+        self.gap_extend = gap_extend
+        self.profile = profile
+        self.bandwidth = bandwidth
+        self.vec_strategy = key.strategy
+
+    @staticmethod
+    def new() -> AlignerBuilder:
+        return AlignerBuilder()
+
+    # -- result construction helpers -----------------------------------------
+    def _flags(self, saturated: bool, banded: bool = False) -> dict:
+        key = self.key
+        return {
+            "nw": key.mode == "nw",
+            "sg": key.mode == "sg",
+            "sw": key.mode == "sw",
+            "striped": not banded and key.strategy == "striped",
+            "scan": not banded and key.strategy == "scan",
+            "diag": not banded and key.strategy == "diag",
+            "banded": banded,
+            "blocked": False,
+            "saturated": saturated,
+            "stats": key.uses_stats,
+            "table": key.outputs in ("table", "stats_table"),
+            "stats_table": key.outputs == "stats_table",
+            "rowcol": key.outputs in ("rowcol", "stats_rowcol"),
+            "stats_rowcol": key.outputs == "stats_rowcol",
+            "trace": key.outputs == "trace",
+        }
+
+    def _make_alignment(self, out: dict, b: int, qlen: int, rlen: int) -> Alignment:
+        fields = dispatch.slice_pair(out, b, qlen, rlen)
+        return Alignment(
+            fields=fields,
+            flags=self._flags(bool(fields.get("saturated", False))),
+            query_len=qlen,
+            ref_len=rlen,
+            matrix=self.matrix,
+            free=self.key.free,
+            mode=self.key.mode,
+        )
+
+    # -- alignment (src/aligner/mod.rs:397-452) ------------------------------
+    def align(self, query, reference) -> Alignment:
+        """Align one pair.  With a profile set, pass ``query=None``."""
+        return self.align_batch(
+            None if query is None else [query], [reference])[0]
+
+    def align_batch(self, queries, references) -> list[Alignment]:
+        """Batched alignment — the TPU-native hot path.
+
+        ``queries=None`` (profile mode) aligns the profile query against
+        every reference; otherwise ``queries`` and ``references`` are
+        parallel lists of byte sequences.  One kernel launch covers the
+        whole batch; results come back per pair.
+        """
+        refs = [_as_bytes(r) for r in references]
+        ridx_list = [self.matrix.encode(r) for r in refs]
+        if queries is None:
+            if self.profile.is_null:
+                raise QueryRequired(
+                    "Query sequence is required for alignment without a profile.")
+            prows = [self.profile.rows] * len(refs)
+            qidxs = [self.profile.qidx] * len(refs)
+            qlens = [self.profile.query_len] * len(refs)
+        else:
+            qs = [_as_bytes(q) for q in queries]
+            if len(qs) != len(refs):
+                raise ValueError("queries and references must have equal length")
+            qidxs = [self.matrix.encode(q) for q in qs]
+            prows = [profile_rows(self.matrix, qi) for qi in qidxs]
+            qlens = [len(q) for q in qs]
+        batch = dispatch.build_batch(prows, qidxs, ridx_list)
+        out = dispatch.execute(
+            batch,
+            gap_open=self.gap_open, gap_extend=self.gap_extend,
+            mode=self.key.mode, free=self.key.free,
+            outputs=self.key.outputs, width=self.key.width,
+        )
+        return [
+            self._make_alignment(out, b, qlens[b], len(ridx_list[b]))
+            for b in range(len(refs))
+        ]
+
+    # -- banded global NW (src/aligner/mod.rs:457-489) -----------------------
+    def banded_nw(self, query, reference) -> Alignment:
+        """Banded global alignment (reference -> parasail_nw_banded).
+
+        Like the reference's, this path is score-only (no tables/trace) and
+        requires ``bandwidth`` to have been set at build time.  Cells with
+        ``|i - j| > bandwidth`` are excluded from the DP.
+        """
+        if self.bandwidth is None:
+            raise NoBandwidth(
+                "banded_nw() requires .bandwidth() on the builder")
+        q, r = _as_bytes(query), _as_bytes(reference)
+        qidx, ridx = self.matrix.encode(q), self.matrix.encode(r)
+        sub = self.matrix.scores_for(qidx, ridx).astype(np.int64)
+        score = _banded_nw_fill(sub, self.gap_open, self.gap_extend, self.bandwidth)
+        fields = {
+            "score": score, "end_query": len(q) - 1, "end_ref": len(r) - 1,
+            "saturated": False,
+        }
+        flags = self._flags(False, banded=True)
+        flags.update({"nw": True, "sg": False, "sw": False})
+        return Alignment(
+            fields=fields, flags=flags, query_len=len(q), ref_len=len(r),
+            matrix=self.matrix, free=(False,) * 4, mode="nw",
+        )
+
+    # -- SSW emulation (src/aligner/mod.rs:492-529) --------------------------
+    def ssw(self, query, reference) -> SSWResult:
+        """Striped Smith-Waterman with start coordinates + raw CIGAR.
+
+        Always local regardless of the configured mode (parasail_ssw is an
+        SW kernel); uses this aligner's matrix and gap penalties.  The
+        profile-based variant is unimplemented in the reference (panics,
+        src/aligner/mod.rs:512-526); here it works when a profile is set
+        and ``query=None``.
+        """
+        if query is None:
+            if self.profile.is_null:
+                raise QueryRequired(
+                    "Query sequence is required for SSW alignment for now.")
+            q = self.profile.query
+        else:
+            q = _as_bytes(query)
+        r = _as_bytes(reference)
+        sw = Aligner(
+            key=KernelKey(mode="sw", free=(True,) * 4, outputs="trace",
+                          strategy="striped", profile=False, width="sat"),
+            matrix=self.matrix, gap_open=self.gap_open,
+            gap_extend=self.gap_extend, profile=Profile.default(),
+            bandwidth=None,
+        )
+        aln = sw.align(q, r)
+        walk = walk_trace(
+            aln.fields["trace_table"], q, r,
+            aln.get_end_query(), aln.get_end_ref(), "sw", (True,) * 4)
+        # SSW CIGARs use M (not =/X); merge and pack (length << 4 | op).
+        from ..constants import cigar_encode
+        packed: list[int] = []
+        for n, op in walk.ops:
+            op = "M" if op in ("=", "X") else op
+            if packed and (packed[-1] & 0xF) == "MIDNSHP=XB".index(op):
+                packed[-1] += n << 4
+            else:
+                packed.append(cigar_encode(n, op))
+        return SSWResult(
+            score1=min(aln.get_score(), 0xFFFF),
+            ref_begin1=walk.beg_ref,
+            ref_end1=aln.get_end_ref(),
+            read_begin1=walk.beg_query,
+            read_end1=aln.get_end_query(),
+            _cigar=np.asarray(packed, dtype=np.uint32),
+        )
+
+
+def _banded_nw_fill(sub: np.ndarray, open_: int, ext: int, bw: int) -> int:
+    """Scalar banded NW fill, vectorized row-at-a-time over the band.
+
+    The reference's parasail_nw_banded is likewise a non-vectorized scalar
+    kernel (doc: src/aligner/mod.rs:454-456); here each DP row updates as
+    a numpy slice with out-of-band cells pinned at -inf.
+    """
+    qlen, rlen = sub.shape
+    NEG = -(10 ** 9)
+    Hprev = np.full(rlen + 1, NEG, dtype=np.int64)
+    Eprev = np.full(rlen + 1, NEG, dtype=np.int64)
+    Hprev[0] = 0
+    for j in range(1, rlen + 1):
+        Hprev[j] = -(open_ + (j - 1) * ext) if abs(j) <= bw else NEG
+    for i in range(1, qlen + 1):
+        H = np.full(rlen + 1, NEG, dtype=np.int64)
+        E = np.full(rlen + 1, NEG, dtype=np.int64)
+        H[0] = -(open_ + (i - 1) * ext) if i <= bw else NEG
+        lo, hi = max(1, i - bw), min(rlen, i + bw)
+        F = NEG
+        for j in range(lo, hi + 1):
+            E[j] = max(Hprev[j] - open_, Eprev[j] - ext)
+            F = max(H[j - 1] - open_, F - ext)
+            H[j] = max(Hprev[j - 1] + int(sub[i - 1, j - 1]), E[j], F)
+        Hprev, Eprev = H, E
+    return int(Hprev[rlen])

@@ -1,0 +1,113 @@
+"""Host-side batch assembly and kernel dispatch.
+
+The reference's hot path is one FFI call per pair
+(src/aligner/mod.rs:397-452); the TPU-native shape of that call is: pack a
+batch of pairs into padded device tensors, run ONE jitted wavefront kernel
+over the whole batch, and fetch the per-pair results.  Length bucketing
+(utils.shapes.length_bucket) keeps the number of compiled shapes small.
+
+Width dispatch replaces parasail's 8->16 saturation retry ladder
+(src/aligner/mod.rs:125-126): scores are computed exactly in int32 in a
+single pass while the kernel *detects* which pairs would have overflowed
+8/16-bit lanes, so no retry run is ever needed — only the flag is reported
+(``Alignment.is_saturated``, src/alignment/mod.rs:436-440).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.wavefront import wavefront_align
+from ..utils.shapes import length_bucket
+
+
+@dataclass
+class PairBatch:
+    """Padded device-ready tensors for a batch of alignment pairs."""
+
+    profile: np.ndarray   # (B, Qp, A) int32
+    qidx: np.ndarray      # (B, Qp) int32
+    ridx: np.ndarray      # (B, Rp) int32
+    qlen: np.ndarray      # (B,) int32
+    rlen: np.ndarray      # (B,) int32
+
+    @property
+    def size(self) -> int:
+        return int(self.qlen.shape[0])
+
+
+def build_batch(
+    prows_list: list[np.ndarray],
+    qidx_list: list[np.ndarray],
+    ridx_list: list[np.ndarray],
+    Qp: int | None = None,
+    Rp: int | None = None,
+) -> PairBatch:
+    """Pack per-pair (rows, qidx, ridx) into one padded batch.
+
+    ``prows_list[b]`` is the (qlen_b, A) profile-row block of pair ``b``
+    (see engine.profile.profile_rows); alphabet width A must agree across
+    the batch (one matrix per batch, as in the reference Aligner).
+    """
+    B = len(ridx_list)
+    A = prows_list[0].shape[1]
+    Qp = Qp or length_bucket(max(p.shape[0] for p in prows_list))
+    Rp = Rp or length_bucket(max(len(r) for r in ridx_list))
+    profile = np.zeros((B, Qp, A), dtype=np.int32)
+    qidx = np.zeros((B, Qp), dtype=np.int32)
+    ridx = np.zeros((B, Rp), dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    rlen = np.zeros(B, dtype=np.int32)
+    for b, (prow, qi, ri) in enumerate(zip(prows_list, qidx_list, ridx_list)):
+        ql, rl = prow.shape[0], len(ri)
+        profile[b, :ql] = prow
+        qidx[b, :ql] = qi
+        # padded query lanes must never count as matches: point them at an
+        # index (-1) that no reference index can take
+        qidx[b, ql:] = -1
+        ridx[b, :rl] = ri
+        qlen[b], rlen[b] = ql, rl
+    return PairBatch(profile=profile, qidx=qidx, ridx=ridx, qlen=qlen, rlen=rlen)
+
+
+def execute(
+    batch: PairBatch,
+    *,
+    gap_open: int,
+    gap_extend: int,
+    mode: str,
+    free: tuple[bool, bool, bool, bool],
+    outputs: str,
+    width: str,
+) -> dict[str, np.ndarray]:
+    """Run the wavefront kernel over a batch; fetch host numpy results.
+
+    ``width`` follows the reference grammar {sat,8,16,32,64}; 64 maps onto
+    the int32 kernel (alignment scores beyond int32 would require sequences
+    and matrices far outside parasail's own operating range; the knob is
+    accepted and reported for parity).
+    """
+    kernel_width = {"64": "32"}.get(width, width)
+    out = wavefront_align(
+        batch.profile, batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+        open_=np.int32(gap_open), ext=np.int32(gap_extend),
+        mode=mode, free=free, outputs=outputs, width=kernel_width,
+    )
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def slice_pair(out: dict, b: int, qlen: int, rlen: int) -> dict:
+    """Extract pair ``b``'s results, cropped from padded to true lengths."""
+    fields = {}
+    for k, v in out.items():
+        if k.endswith("_table"):
+            fields[k] = v[b, :qlen, :rlen]
+        elif k.endswith("_row"):
+            fields[k] = v[b, :rlen]
+        elif k.endswith("_col"):
+            fields[k] = v[b, :qlen]
+        else:
+            fields[k] = v[b]
+    return fields

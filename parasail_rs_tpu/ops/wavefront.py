@@ -58,9 +58,7 @@ def _shift1(x, fill):
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "open_", "ext", "mode", "free", "outputs", "width",
-    ),
+    static_argnames=("mode", "free", "outputs", "width"),
 )
 def wavefront_align(
     profile,       # (B, Qp, A) int32: per-pair query profile P[b,i,a]
@@ -69,8 +67,8 @@ def wavefront_align(
     qlen,          # (B,) int32
     rlen,          # (B,) int32
     *,
-    open_: int,
-    ext: int,
+    open_,         # () int32 gap-open penalty (traced: no recompile per value)
+    ext,           # () int32 gap-extend penalty (traced)
     mode: str,
     free: tuple[bool, bool, bool, bool],
     outputs: str,
@@ -85,6 +83,13 @@ def wavefront_align(
     - table(s): ``score_table`` (+ ``matches/similar/length_table``) (B,Qp,Rp)
     - rowcol:   ``score_row`` (B,Rp) / ``score_col`` (B,Qp) (+ stats rows/cols)
     - trace:    ``trace_table`` (B,Qp,Rp) int8 flags
+
+    Width semantics (the TPU replacement for parasail's retry ladder,
+    reference src/aligner/mod.rs:125-126): scores are always exact int32;
+    ``"8"``/``"16"`` flag pairs whose H would overflow that integer width,
+    ``"sat"`` detects both thresholds in ONE pass — ``saturated`` reports
+    the 16-bit flag (parasail's sat = 8-bit, retry 16-bit, saturated only
+    if 16-bit overflows too) and ``promoted`` reports the 8-bit flag.
     """
     B, Qp, A = profile.shape
     Rp = ridx.shape[1]
@@ -99,6 +104,8 @@ def wavefront_align(
     want_trace = outputs == "trace"
 
     neg = jnp.int32(NEG_INF32)
+    open_ = jnp.asarray(open_, dtype=I32)
+    ext = jnp.asarray(ext, dtype=I32)
     ivec = jnp.arange(Qp, dtype=I32)                       # (Qp,)
 
     # Reference indices re-packed for contiguous per-diagonal slicing:
@@ -135,6 +142,8 @@ def wavefront_align(
         # Width-emulation saturation detection.
         "sat": jnp.zeros((B,), dtype=bool),
     }
+    if width == "sat":
+        carry["sat8"] = jnp.zeros((B,), dtype=bool)
     if want_stats:
         for k in ("Hm1", "Hs1", "Hl1", "Hm2", "Hs2", "Hl2",
                   "Em1", "Es1", "El1", "Fm1", "Fs1", "Fl1"):
@@ -150,8 +159,12 @@ def wavefront_align(
             for k in ("colm", "cols", "coll"):
                 carry[k] = jnp.zeros((B, Qp), dtype=I32)
 
-    wmax = jnp.int32(WIDTH_MAX[width]) if width in ("8", "16") else None
-    wmin = jnp.int32(WIDTH_MIN[width]) if width in ("8", "16") else None
+    wmax = jnp.int32(WIDTH_MAX[width if width != "sat" else "16"]) \
+        if width in ("8", "16", "sat") else None
+    wmin = jnp.int32(WIDTH_MIN[width if width != "sat" else "16"]) \
+        if width in ("8", "16", "sat") else None
+    wmax8 = jnp.int32(WIDTH_MAX["8"]) if width == "sat" else None
+    wmin8 = jnp.int32(WIDTH_MIN["8"]) if width == "sat" else None
 
     def step(carry, d):
         jvec = d - ivec                                   # (Qp,) ref index per lane
@@ -254,6 +267,9 @@ def wavefront_align(
         if wmax is not None:
             hit = in_seq & ((H >= wmax) | (H <= wmin))
             new["sat"] = carry["sat"] | hit.any(axis=1)
+        if wmax8 is not None:
+            hit8 = in_seq & ((H >= wmax8) | (H <= wmin8))
+            new["sat8"] = carry["sat8"] | hit8.any(axis=1)
 
         # -- end-cell accumulation --------------------------------------------
         if local:
@@ -337,6 +353,8 @@ def wavefront_align(
 
     # -- final readout ---------------------------------------------------------
     out = {"saturated": carry["sat"]}
+    if width == "sat":
+        out["promoted"] = carry["sat8"]
     if mode == "nw":
         out["score"] = carry["best"]
         out["end_query"] = qlen - 1

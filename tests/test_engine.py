@@ -1,0 +1,360 @@
+"""Engine-layer integration tests through the public API.
+
+Mirrors the reference's single-tier test strategy — every test in
+reference tests/test_parasail.rs has an analog here with the same
+sequences and arithmetic expectations (SURVEY.md §4), plus TPU-build
+extras (error guards, saturation flags, batch API).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from parasail_rs_tpu import Matrix, TraceFlags, errors
+from parasail_rs_tpu.engine import Aligner, Profile
+from parasail_rs_tpu.golden import model as golden
+
+
+# -- construction (reference test_parasail.rs:47-62) ------------------------
+def test_aligner_construction():
+    Aligner.new().build()
+    (Aligner.new()
+        .matrix(Matrix.default())
+        .gap_open(10)
+        .gap_extend(1)
+        .profile(Profile.default())
+        .allow_query_gaps(["prefix", "suffix"])
+        .striped()
+        .use_stats()
+        .build())
+
+
+def test_profile_construction():
+    # reference test_parasail.rs:36-45
+    query = b"ATGGCACTATAA"
+    Profile.new(query, False, Matrix.default())
+    Profile.new(query, True, Matrix.default())
+    with pytest.raises(errors.QueryIsEmpty):
+        Profile.new(b"", False, Matrix.default())
+    p = Profile.builder(query, Matrix.default()).use_stats().build()
+    assert p.use_stats and p.query_len == len(query)
+
+
+# -- basic modes (reference test_parasail.rs:64-122) ------------------------
+@pytest.mark.parametrize("mode", ["global", "semi_global", "local"])
+def test_perfect_match_modes(mode):
+    query = reference = b"ACGT"
+    builder = Aligner.new().striped()
+    getattr(builder, {"global": "global_", "semi_global": "semi_global",
+                      "local": "local"}[mode])()
+    aligner = builder.build()
+    result = aligner.align(query, reference)
+    n = len(query)
+    assert result.get_score() == n
+    assert result.get_end_query() == n - 1
+    assert result.get_end_ref() == n - 1
+    assert result.is_global() == (mode == "global")
+    assert result.is_semi_global() == (mode == "semi_global")
+    assert result.is_local() == (mode == "local")
+    assert result.is_striped()
+    assert not result.is_scan() and not result.is_diag()
+
+
+# -- stats (reference test_parasail.rs:124-173) ------------------------------
+@pytest.mark.parametrize("mode_setter", ["global_", "semi_global", "local"])
+def test_with_stats(mode_setter):
+    query = reference = b"ACGT"
+    builder = Aligner.new().use_stats().striped()
+    getattr(builder, mode_setter)()
+    result = builder.build().align(query, reference)
+    assert result.get_matches() == len(query)
+    assert result.get_length() == len(query)
+    assert result.is_stats()
+
+
+# -- explicit widths (reference test_parasail.rs:175-253) --------------------
+@pytest.mark.parametrize("width", [8, 16, 32, 64])
+def test_global_widths(width):
+    query = b"ACTGACTGACTG"
+    reference = b"ACTGTCTGACTG"
+    result = (Aligner.new().striped().solution_width(width).build()
+              .align(query, reference))
+    n = len(query)
+    assert result.get_score() == n - 1
+    assert result.get_end_query() == n - 1
+    assert result.get_end_ref() == n - 1
+    assert result.is_global() and result.is_striped()
+    assert not result.is_saturated()
+
+
+# -- tables (reference test_parasail.rs:255-383) -----------------------------
+def test_score_table():
+    query = reference = b"ACGT"
+    result = Aligner.new().use_table().striped().build().align(query, reference)
+    assert result.is_table()
+    assert not result.is_stats() and not result.is_stats_table()
+    table = result.get_score_table()
+    assert table.rows() == len(query)
+    assert table.cols() == len(reference)
+    assert table.last() == len(query)
+    assert table.get(0, 0) is not None
+    assert table.get(99, 0) is None
+
+    # with stats
+    result = (Aligner.new().use_stats().use_table().striped().build()
+              .align(query, reference))
+    assert result.is_stats() and result.is_stats_table() and result.is_table()
+    assert result.get_score_table().rows() == len(query)
+
+    # with profile, without stats
+    custom_score = 3
+    matrix = Matrix.create(b"ACGT", custom_score, -2)
+    profile = Profile.new(query, False, matrix)
+    result = (Aligner.new().profile(profile).use_table().striped().build()
+              .align(None, reference))
+    assert result.is_table()
+    assert not result.is_stats() and not result.is_stats_table()
+    assert result.get_score_table().last() == len(query) * custom_score
+
+    # with profile, with stats
+    profile = Profile.new(query, True, matrix)
+    result = (Aligner.new().profile(profile).use_stats().use_table().striped()
+              .build().align(None, reference))
+    assert result.is_stats() and result.is_stats_table() and result.is_table()
+    assert result.get_score_table().last() == len(query) * custom_score
+
+
+def test_matches_table():
+    query, reference = b"ACGT", b"ACGTT"
+    result = (Aligner.new().use_table().use_stats().striped().build()
+              .align(query, reference))
+    assert result.is_table() and result.is_stats() and result.is_stats_table()
+    table = result.get_matches_table()
+    assert table.rows() == len(query)
+    assert table.cols() == len(reference)
+    assert table.last() == len(query)
+
+
+def test_similar_table():
+    query = reference = b"ACGT"
+    result = (Aligner.new().use_table().use_stats().striped().build()
+              .align(query, reference))
+    table = result.get_similar_table()
+    assert table.rows() == len(query) and table.cols() == len(reference)
+    str(table)
+
+
+def test_length_table():
+    query, reference = b"ACGT", b"ACGTTT"
+    result = (Aligner.new().use_table().use_stats().striped().build()
+              .align(query, reference))
+    table = result.get_length_table()
+    assert table.rows() == len(query) and table.cols() == len(reference)
+
+
+# -- rowcol (reference test_parasail.rs:385-543) -----------------------------
+def _stats_rowcol_result(query, reference):
+    return (Aligner.new().use_last_rowcol().use_stats().striped().build()
+            .align(query, reference))
+
+
+def test_rows():
+    result = _stats_rowcol_result(b"ACGT", b"ACG")
+    assert result.is_stats_rowcol() and result.is_stats()
+    assert not result.is_stats_table()
+    np.testing.assert_array_equal(result.get_score_row(), [1, 2, 3])
+    np.testing.assert_array_equal(result.get_matches_row(), [1, 2, 3])
+    np.testing.assert_array_equal(result.get_similar_row(), [1, 2, 3])
+    np.testing.assert_array_equal(result.get_length_row(), [4, 4, 4])
+
+
+def test_cols():
+    result = _stats_rowcol_result(b"ACG", b"ACGT")
+    assert result.is_stats_rowcol() and result.is_stats()
+    assert not result.is_stats_table()
+    np.testing.assert_array_equal(result.get_score_col(), [1, 2, 3])
+    np.testing.assert_array_equal(result.get_matches_col(), [1, 2, 3])
+    np.testing.assert_array_equal(result.get_similar_col(), [1, 2, 3])
+    np.testing.assert_array_equal(result.get_length_col(), [4, 4, 4])
+
+
+# -- trace (reference test_parasail.rs:545-616) ------------------------------
+def test_trace_table():
+    query = reference = b"ACGT"
+    result = Aligner.new().use_trace().striped().build().align(query, reference)
+    assert result.is_trace()
+    table = result.get_trace_table()
+    assert table.rows() == len(query)
+    assert table.cols() == len(reference)
+    assert table.as_slice().shape[0] == 16
+    for row in range(table.rows()):
+        for col in range(table.cols()):
+            flags = table.get(row, col)
+            assert flags is not None
+            assert flags != 0 or flags == TraceFlags.ZERO
+    str(table)
+
+
+def test_traceback_strings_and_cigar(capsys):
+    query = reference = b"ACGT"
+    result = Aligner.new().use_trace().striped().build().align(query, reference)
+    tb = result.get_traceback_strings(query, reference)
+    assert tb.query == "ACGT"
+    assert tb.comparison == "||||"
+    assert tb.reference == "ACGT"
+    assert result.get_cigar(query, reference) == "4="
+    result.print_traceback(query, reference)
+    out = capsys.readouterr().out
+    assert "Query:" in out and "Target:" in out and "Score: 4" in out
+
+
+# -- profile alignment (reference test_parasail.rs:618-687) ------------------
+@pytest.mark.parametrize("mode_setter", ["global_", "semi_global", "local"])
+def test_with_profile(mode_setter):
+    query = reference = b"ACGT"
+    profile = Profile.new(query, True, Matrix.default())
+    builder = Aligner.new().profile(profile).use_stats().striped()
+    getattr(builder, mode_setter)()
+    result = builder.build().align(None, reference)
+    assert result.is_stats() and result.is_striped()
+    assert result.get_score() == len(query)
+    modes = {"global_": "is_global", "semi_global": "is_semi_global",
+             "local": "is_local"}
+    for setter, pred in modes.items():
+        assert getattr(result, pred)() == (setter == mode_setter)
+
+
+# -- multithreading (reference test_parasail.rs:689-723) ---------------------
+def test_multithread_global_alignment():
+    query = b"ACGT"
+    refs = [b"ACGT", b"ACGT"]
+    profile = Profile.new(query, True, Matrix.default())
+    aligner = Aligner.new().profile(profile).use_stats().striped().build()
+    scores = []
+
+    def run(reference):
+        scores.append(aligner.align(None, reference).get_score())
+
+    threads = [threading.Thread(target=run, args=(r,)) for r in refs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert scores == [len(query)] * len(refs)
+
+
+# -- banded NW (reference test_parasail.rs:725-736) --------------------------
+def test_banded_nw():
+    query = reference = b"ACGT"
+    aligner = Aligner.new().bandwidth(2).build()
+    result = aligner.banded_nw(query, reference)
+    assert result.get_score() == len(query)
+    assert result.is_banded() and result.is_global()
+    assert not result.is_striped()
+
+
+def test_banded_nw_matches_full_nw_when_band_covers():
+    rng = np.random.default_rng(7)
+    m = Matrix.create(b"ACGT", 2, -3)
+    for _ in range(5):
+        q = rng.choice(list(b"ACGT"), size=rng.integers(5, 20)).astype("uint8").tobytes()
+        r = rng.choice(list(b"ACGT"), size=rng.integers(5, 20)).astype("uint8").tobytes()
+        full = (Aligner.new().matrix(m).gap_open(5).gap_extend(1).build()
+                .align(q, r).get_score())
+        banded = (Aligner.new().matrix(m).gap_open(5).gap_extend(1)
+                  .bandwidth(max(len(q), len(r))).build()
+                  .banded_nw(q, r).get_score())
+        assert banded == full
+
+
+def test_banded_nw_requires_bandwidth():
+    with pytest.raises(errors.NoBandwidth):
+        Aligner.new().build().banded_nw(b"ACGT", b"ACGT")
+
+
+# -- SSW (reference test_parasail.rs:738-765) --------------------------------
+def test_ssw_alignment():
+    query = reference = b"ACGT"
+    result = Aligner.new().build().ssw(query, reference)
+    n = len(query)
+    assert result.score() == n
+    assert result.query_end() == n - 1
+    assert result.ref_end() == n - 1
+    assert result.query_start() == 0
+    assert result.ref_start() == 0
+    assert result.cigar_len() >= 1
+    assert result.cigar_string() == "4M"
+
+
+def test_ssw_init():
+    Profile.new_ssw(b"ACGT", Matrix.default(), 2)
+
+
+# -- TPU-build extras --------------------------------------------------------
+def test_error_guards():
+    result = Aligner.new().build().align(b"ACGT", b"ACGT")
+    with pytest.raises(errors.NoStats):
+        result.get_matches()
+    with pytest.raises(errors.NoStats):
+        result.get_similar()
+    with pytest.raises(errors.NoTable):
+        result.get_score_table()
+    with pytest.raises(errors.NoRowCol):
+        result.get_score_row()
+    with pytest.raises(errors.NoTrace):
+        result.get_cigar(b"ACGT", b"ACGT")
+    with pytest.raises(errors.QueryRequired):
+        Aligner.new().build().align(None, b"ACGT")
+    with pytest.raises(errors.UnknownKernel):
+        # profile requires striped or scan (reference assert,
+        # src/aligner/mod.rs:307-310)
+        (Aligner.new().profile(Profile.new(b"ACGT", False, Matrix.default()))
+         .diag().build())
+
+
+def test_saturation_flag_8bit():
+    # score 200 > 127 overflows an 8-bit lane
+    m = Matrix.create(b"ACGT", 10, -1)
+    q = r = b"ACGT" * 5  # 20 matches * 10 = 200
+    result = (Aligner.new().matrix(m).solution_width(8).build().align(q, r))
+    assert result.get_score() == 200  # exact despite the flag
+    assert result.is_saturated()
+    # sat ladder: 8-bit overflow but 16-bit fine -> not saturated
+    result = (Aligner.new().matrix(m).solution_width("sat").build().align(q, r))
+    assert result.get_score() == 200
+    assert not result.is_saturated()
+
+
+def test_align_batch_mixed_lengths():
+    rng = np.random.default_rng(3)
+    m = Matrix.from_name("blosum62")
+    alpha = list(b"ARNDCQEGHILKMFPSTWYV")
+    pairs = [
+        (rng.choice(alpha, size=rng.integers(4, 40)).astype("uint8").tobytes(),
+         rng.choice(alpha, size=rng.integers(4, 40)).astype("uint8").tobytes())
+        for _ in range(9)
+    ]
+    aligner = (Aligner.new().matrix(m).gap_open(11).gap_extend(1).local()
+               .use_stats().build())
+    results = aligner.align_batch([q for q, _ in pairs], [r for _, r in pairs])
+    for (q, r), res in zip(pairs, results):
+        g = golden.align_seqs(q, r, m, 11, 1, "sw")
+        assert res.get_score() == g.score
+        assert res.get_end_query() == g.end_query
+        assert res.get_end_ref() == g.end_ref
+        assert res.get_matches() == g.matches
+        assert res.get_similar() == g.similar
+        assert res.get_length() == g.length
+
+
+def test_semi_global_gap_variants_engine():
+    # free-end grammar through the builder (reference: aligner/mod.rs:270-299)
+    q, r = b"TTACGT", b"ACGTGG"
+    for qgaps, rgaps in [([], []), (["prefix"], []), ([], ["suffix"]),
+                         (["prefix", "suffix"], ["prefix"])]:
+        res = (Aligner.new().semi_global().allow_query_gaps(qgaps)
+               .allow_ref_gaps(rgaps).build().align(q, r))
+        g = golden.align_seqs(q, r, Matrix.default(), 0, 0, "sg",
+                              golden.free_flags("sg", qgaps, rgaps))
+        assert res.get_score() == g.score, (qgaps, rgaps)
