@@ -15,6 +15,7 @@ single pass while the kernel *detects* which pairs would have overflowed
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -90,12 +91,62 @@ def execute(
     accepted and reported for parity).
     """
     kernel_width = {"64": "32"}.get(width, width)
-    out = wavefront_align(
-        batch.profile, batch.qidx, batch.ridx, batch.qlen, batch.rlen,
-        open_=np.int32(gap_open), ext=np.int32(gap_extend),
-        mode=mode, free=free, outputs=outputs, width=kernel_width,
-    )
+    if _use_pallas(batch, outputs, gap_open, gap_extend):
+        out = _execute_pallas(
+            batch, gap_open=gap_open, gap_extend=gap_extend,
+            mode=mode, free=free, width=kernel_width,
+        )
+    else:
+        out = wavefront_align(
+            batch.profile, batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+            open_=np.int32(gap_open), ext=np.int32(gap_extend),
+            mode=mode, free=free, outputs=outputs, width=kernel_width,
+        )
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
+                gap_extend: int) -> bool:
+    """Route score-only work to the Pallas prefix-scan kernel.
+
+    Requirements (see ops/scan_kernel.py): score outputs, open >= ext
+    (scan exactness), int8-safe substitution scores, and a TPU backend
+    (or PT_FORCE_PALLAS=1, which runs the kernel interpreted — test use).
+    """
+    if outputs != "score" or gap_open < gap_extend:
+        return False
+    if batch.profile.min() < -128 or batch.profile.max() > 127:
+        return False
+    forced = os.environ.get("PT_FORCE_PALLAS") == "1"
+    if forced:
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width):
+    from ..ops.scan_kernel import LANES, scan_score_align
+    import jax
+
+    B = batch.size
+    Bp = ((B + LANES - 1) // LANES) * LANES
+    pad = Bp - B
+
+    def padb(x):
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths)
+
+    out = scan_score_align(
+        padb(batch.profile), padb(batch.ridx),
+        padb(batch.qlen), padb(batch.rlen),
+        open_=np.int32(gap_open), ext=np.int32(gap_extend),
+        mode=mode, free=free, width=width,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return {k: np.asarray(v)[:B] for k, v in out.items()}
 
 
 def slice_pair(out: dict, b: int, qlen: int, rlen: int) -> dict:

@@ -1,0 +1,280 @@
+"""Pallas TPU score kernel: batched prefix-scan DP fill.
+
+This is the speed-of-light score path for the kernel family the reference
+reaches through parasail's `*_scan` C kernels (SURVEY.md §2.2; name
+grammar src/aligner/mod.rs:289-331).  parasail's scan strategy (Daily
+2016) resolves the affine-gap vertical dependency with a prefix scan over
+ONE pair's SIMD stripes; the TPU formulation flips the mapping — 128
+pairs ride the vector lanes, query positions ride the sublanes, and the
+kernel sweeps reference columns:
+
+  per column j (all arrays (Qp, LANES), elementwise on the VPU):
+    F[i]     = max(Hprev[i] - open, Fprev[i] - ext)        horizontal gap
+    Htemp[i] = max(Hprev[i-1] + S[i,j], F[i])              pre-vertical H
+    E[i]     = max_{k<=i-1} (Htemp[k] - open - (i-1-k)*ext) vertical gap
+    H[i]     = max(Htemp[i], E[i])        (local: clamp 0 before the scan)
+
+  E is a (max,+) prefix over the sublane axis, computed in log2(Qp)
+  shift+max steps on A[k] = Htemp[k] - open + ext*k.
+
+Exactness requires gap_open >= gap_extend (a vertical gap restarted from
+a cell that itself sits in a vertical gap can never beat extending the
+original gap) — the same contract parasail documents for its penalties
+(reference doc: src/aligner/mod.rs:140-154).  The engine falls back to
+the XLA wavefront path otherwise.
+
+Substitution scores are precomputed OUTSIDE the kernel as one one-hot
+matmul on the MXU — S[b, j, i] = onehot(ridx)[b, j, :] @ profile[b, i, :]
+— which lands directly in the column-major (Rp, Qp) layout the sweep
+consumes: the kernel contains no gathers at all.
+
+Covers modes nw/sg(all free-end variants)/sw, per-pair lengths, and the
+8/16-bit saturation detection of the width ladder.  Outputs: score,
+end_query, end_ref, saturated (+ promoted for "sat"), matching
+`wavefront_align`'s score-output contract bit for bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import NEG_INF32, WIDTH_MAX, WIDTH_MIN
+
+I32 = jnp.int32
+LANES = 128          # pairs per block (vector lane dim)
+COL_TILE = 256       # reference columns streamed per grid step
+BIG = 2**30
+
+
+def _prefix_max_exclusive(a, ii, seed):
+    """Exclusive (max) prefix along the sublane axis 0.
+
+    out[i] = max(seed, a[0..i-1]) — ``seed`` is the virtual row above the
+    grid (the top-boundary gap origin).  Hillis-Steele with static shifts:
+    log2(Qp) shift+max slab ops.
+    """
+    x = jnp.where(ii == 0, seed, jnp.roll(a, 1, axis=0))
+    s = 1
+    n = a.shape[0]
+    while s < n:
+        shifted = jnp.where(ii >= s, jnp.roll(x, s, axis=0), NEG_INF32)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total):
+    """Build the column-sweep kernel body (all config static)."""
+    local = mode == "sw"
+    qb, qe, db, de = (True,) * 4 if local else free
+    neg = NEG_INF32  # plain int: jnp constants made here would be captured
+    detect8 = width in ("8", "sat")
+    detect16 = width in ("16", "sat")
+
+    def kernel(gaps_ref, qlen_ref, rlen_ref, scol_ref, out_ref,
+               hprev, fprev, acc):
+        open_ = gaps_ref[0]
+        ext = gaps_ref[1]
+        jblk = pl.program_id(1)
+        ii = jax.lax.broadcasted_iota(I32, (Qp, LANES), 0)
+        qlen = qlen_ref[0, :, :]                   # (1, LANES)
+        rlen = rlen_ref[0, :, :]
+        imask = ii < qlen
+
+        @pl.when(jblk == 0)
+        def _init():
+            # Bordered left column H[i+1][0] (reference golden semantics:
+            # free db zeroes it; see golden/model.py boundary setup).
+            left = -(open_ + ii * ext)
+            hprev[:] = jnp.zeros_like(left) if db else left
+            fprev[:] = jnp.full((Qp, LANES), neg)
+            acc[:] = jnp.zeros((8, LANES), I32)
+            acc[0:1, :] = jnp.full((1, LANES), neg, I32)       # best score
+            acc[1:2, :] = jnp.full((1, LANES), I32(Qp))        # best i
+            acc[2:3, :] = jnp.full((1, LANES), BIG, I32)       # best j
+
+        def col(jj, _):
+            j = jblk * Jt + jj
+            s = scol_ref[0, jj, :, :].astype(I32)       # (Qp, LANES)
+            hp = hprev[:]
+            fp = fprev[:]
+
+            F = jnp.maximum(hp - open_, fp - ext)
+            # Top boundary H[0][j] of the bordered grid.
+            topb = jnp.where(j > 0, -(open_ + (j - 1) * ext), 0).astype(I32)
+            if qb or local:
+                topb = jnp.int32(0)
+            hdiag = jnp.where(ii == 0, topb, jnp.roll(hp, 1, axis=0))
+            htemp = jnp.maximum(hdiag + s, F)
+            if local:
+                htemp = jnp.maximum(htemp, 0)
+
+            # Virtual row above the grid: the top-boundary cell H[0][j+1]
+            # of the bordered grid is a legal vertical-gap origin
+            # (A[-1] = H[0][j+1] - open + ext*(-1)).
+            seedb = -(open_ + j * ext)
+            if qb or local:
+                seedb = jnp.int32(0)
+            a = htemp - open_ + ext * ii
+            pm = _prefix_max_exclusive(a, ii, seedb - open_ - ext)
+            E = pm - ext * (ii - 1)
+            H = jnp.maximum(htemp, E)
+
+            hprev[:] = H
+            fprev[:] = F
+
+            inseq = imask & (j < rlen)
+            # Saturation detection (8/16-bit width emulation).
+            if detect8:
+                hit8 = inseq & ((H >= WIDTH_MAX["8"]) | (H <= WIDTH_MIN["8"]))
+                acc[3:4, :] = acc[3:4, :] | hit8.any(axis=0, keepdims=True).astype(I32)
+            if detect16:
+                hit16 = inseq & ((H >= WIDTH_MAX["16"]) | (H <= WIDTH_MIN["16"]))
+                acc[4:5, :] = acc[4:5, :] | hit16.any(axis=0, keepdims=True).astype(I32)
+
+            # End-cell candidates (same accumulation as wavefront_align).
+            last_row = ii == qlen - 1
+            last_col = j == rlen - 1
+            if local:
+                cand = inseq & (H > 0)
+            elif mode == "sg":
+                sel = last_row & last_col
+                if qe:
+                    sel = sel | last_row
+                if de:
+                    sel = sel | last_col
+                cand = inseq & sel
+            else:
+                cand = last_row & last_col & inseq
+            Hc = jnp.where(cand, H, neg)
+            step_best = Hc.max(axis=0, keepdims=True)               # (1, LANES)
+            step_i = jnp.where(
+                Hc == step_best, ii, I32(Qp)).min(axis=0, keepdims=True)
+            best, bi = acc[0:1, :], acc[1:2, :]
+            better = (step_best > best) | (
+                (step_best == best) & (step_best > neg) & (step_i < bi))
+            acc[0:1, :] = jnp.where(better, step_best, best)
+            acc[1:2, :] = jnp.where(better, step_i, bi)
+            acc[2:3, :] = jnp.where(better, jnp.full((1, LANES), j, I32), acc[2:3, :])
+            return 0
+
+        ncols = jnp.minimum(Jt, rlen_total - jblk * Jt)
+        jax.lax.fori_loop(0, ncols, col, 0)
+
+        @pl.when(jblk == nj - 1)
+        def _fini():
+            out_ref[0] = acc[:]
+
+    return kernel
+
+
+def build_scol(profile, ridx):
+    """One-hot MXU matmul: (B, Rp, Qp) substitution scores, column-major.
+
+    S[b, j, i] = profile[b, i, ridx[b, j]].  f32 accumulation is exact for
+    |score| < 2^24 (every parasail-style matrix and any sane PSSM).
+    """
+    B, Qp, A = profile.shape
+    onehot = jax.nn.one_hot(ridx, A, dtype=jnp.float32)      # (B, Rp, A)
+    s = jax.lax.dot_general(
+        onehot, profile.astype(jnp.float32),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                        # (B, Rp, Qp)
+    return s.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "free", "width", "interpret"),
+)
+def scan_score_align(
+    profile,       # (B, Qp, A) int32
+    ridx,          # (B, Rp) int32
+    qlen,          # (B,) int32
+    rlen,          # (B,) int32
+    *,
+    open_,
+    ext,
+    mode: str,
+    free: tuple[bool, bool, bool, bool],
+    width: str = "32",
+    interpret: bool = False,
+):
+    """Pallas score-only alignment; same output contract as
+    ``wavefront_align(outputs="score")``.
+
+    B must be a multiple of 128 (the engine pads batches); Qp/Rp are the
+    padded buckets.  Scores are exact int32; ``width`` only controls the
+    saturation flags (see wavefront_align docstring).
+    """
+    B, Qp, A = profile.shape
+    Rp = ridx.shape[1]
+    assert B % LANES == 0, "batch must be padded to a multiple of 128"
+    nb = B // LANES
+
+    scol = build_scol(profile, ridx)                         # (B, Rp, Qp) int8
+    # Lanes-last layout: (nb, Rp, Qp, LANES).
+    scol = scol.reshape(nb, LANES, Rp, Qp).transpose(0, 2, 3, 1)
+    qlen_b = qlen.reshape(nb, 1, LANES)
+    rlen_b = rlen.reshape(nb, 1, LANES)
+    gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32)])
+
+    Jt = min(COL_TILE, Rp)
+    nj = pl.cdiv(Rp, Jt)
+    kernel = _make_kernel(Qp, Jt, nj, mode, free, width, Rp)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(nb, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # gaps
+            pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                 # qlen
+            pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                 # rlen
+            pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),                 # scol
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, LANES), I32),
+        scratch_shapes=[
+            pltpu.VMEM((Qp, LANES), I32),      # hprev
+            pltpu.VMEM((Qp, LANES), I32),      # fprev
+            pltpu.VMEM((8, LANES), I32),       # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(gaps, qlen_b, rlen_b, scol)
+
+    acc = acc.transpose(0, 2, 1).reshape(B, 8)
+    best, bi, bj = acc[:, 0], acc[:, 1], acc[:, 2]
+    sat8, sat16 = acc[:, 3] != 0, acc[:, 4] != 0
+
+    out = {}
+    if width == "8":
+        out["saturated"] = sat8
+    elif width in ("16", "sat"):
+        out["saturated"] = sat16
+        if width == "sat":
+            out["promoted"] = sat8
+    else:
+        out["saturated"] = jnp.zeros(B, bool)
+    if mode == "nw":
+        out["score"] = best
+        out["end_query"] = qlen - 1
+        out["end_ref"] = rlen - 1
+    else:
+        empty = best <= 0 if mode == "sw" else jnp.zeros_like(best, bool)
+        out["score"] = jnp.where(empty, 0, best) if mode == "sw" else best
+        out["end_query"] = jnp.where(empty, 0, bi)
+        out["end_ref"] = jnp.where(empty, 0, bj)
+    return out

@@ -1,0 +1,93 @@
+"""Pallas prefix-scan score kernel: bit-exactness vs the XLA wavefront path.
+
+The wavefront path is itself verified against the golden scalar oracle
+(tests/test_wavefront.py), so equality here closes the chain
+golden == XLA == Pallas.  Runs the kernel in interpreter mode on the CPU
+backend; the compiled TPU path is exercised by bench.py and the
+TPU-backend test run (PT_TEST_BACKEND=tpu).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from parasail_rs_tpu.engine.dispatch import build_batch
+from parasail_rs_tpu.engine.profile import profile_rows
+from parasail_rs_tpu.matrices import Matrix
+from parasail_rs_tpu.ops.scan_kernel import scan_score_align
+from parasail_rs_tpu.ops.wavefront import wavefront_align
+
+
+def _random_batch(seed=0, n=128, maxlen=28):
+    rng = np.random.default_rng(seed)
+    m = Matrix.from_name("blosum62")
+    alpha = list(b"ARNDCQEGHILKMFPSTWYV")
+    prows, qidxs, ridxs = [], [], []
+    for _ in range(n):
+        q = rng.choice(alpha, size=rng.integers(1, maxlen)).astype("uint8").tobytes()
+        r = rng.choice(alpha, size=rng.integers(1, maxlen)).astype("uint8").tobytes()
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    return build_batch(prows, qidxs, ridxs)
+
+
+BATCH = _random_batch()
+
+CONFIGS = [
+    ("sw", (True, True, True, True)),
+    ("nw", (False, False, False, False)),
+    ("sg", (True, True, True, True)),
+    ("sg", (True, False, False, True)),
+    ("sg", (False, True, True, False)),
+    ("sg", (False, False, False, False)),
+]
+
+
+@pytest.mark.parametrize("mode,free", CONFIGS)
+def test_scan_matches_wavefront(mode, free):
+    b = BATCH
+    ref = wavefront_align(
+        b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        outputs="score", width="sat")
+    got = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        width="sat", interpret=True)
+    for k in ("score", "end_query", "end_ref", "saturated", "promoted"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(ref[k]), err_msg=f"{mode}/{free}/{k}")
+
+
+def test_scan_saturation_flags():
+    # scores > 127 must flip the 8-bit flag but not the 16-bit one
+    m = Matrix.create(b"ACGT", 10, -1)
+    qi = m.encode(b"ACGT" * 8)       # 32 matches * 10 = 320
+    batch = build_batch([profile_rows(m, qi)] * 128, [qi] * 128, [qi] * 128)
+    got = scan_score_align(
+        batch.profile, batch.ridx, batch.qlen, batch.rlen,
+        open_=np.int32(5), ext=np.int32(1), mode="sw", free=(True,) * 4,
+        width="sat", interpret=True)
+    assert np.asarray(got["score"])[0] == 320
+    assert np.asarray(got["promoted"]).all()
+    assert not np.asarray(got["saturated"]).any()
+
+
+def test_engine_pallas_route(monkeypatch):
+    # The engine routes score-only work through the Pallas kernel when
+    # forced (PT_FORCE_PALLAS=1 -> interpreted on CPU); results must be
+    # identical to the default XLA route.
+    from parasail_rs_tpu.engine import Aligner
+
+    m = Matrix.from_name("blosum62")
+    aligner = (Aligner.new().matrix(m).gap_open(11).gap_extend(1).local()
+               .build())
+    qs = [b"MKVLAT", b"HEAGAWGHEE", b"PAWHEAE"]
+    rs = [b"MKVInnnLAT", b"PAWHEAE", b"HEAGAWGHEE"]
+    base = [a.get_score() for a in aligner.align_batch(qs, rs)]
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    via_pallas = aligner.align_batch(qs, rs)
+    assert [a.get_score() for a in via_pallas] == base
