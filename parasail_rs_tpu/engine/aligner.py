@@ -254,14 +254,7 @@ class Aligner:
         return self.align_batch(
             None if query is None else [query], [reference])[0]
 
-    def align_batch(self, queries, references) -> list[Alignment]:
-        """Batched alignment — the TPU-native hot path.
-
-        ``queries=None`` (profile mode) aligns the profile query against
-        every reference; otherwise ``queries`` and ``references`` are
-        parallel lists of byte sequences.  One kernel launch covers the
-        whole batch; results come back per pair.
-        """
+    def _prepare(self, queries, references):
         refs = [_as_bytes(r) for r in references]
         ridx_list = [self.matrix.encode(r) for r in refs]
         if queries is None:
@@ -278,7 +271,10 @@ class Aligner:
             qidxs = [self.matrix.encode(q) for q in qs]
             prows = [profile_rows(self.matrix, qi) for qi in qidxs]
             qlens = [len(q) for q in qs]
-        batch = dispatch.build_batch(prows, qidxs, ridx_list)
+        return prows, qidxs, ridx_list, qlens
+
+    def _run(self, prows, qidxs, ridx_list, qlens, Qp=None, Rp=None):
+        batch = dispatch.build_batch(prows, qidxs, ridx_list, Qp=Qp, Rp=Rp)
         out = dispatch.execute(
             batch,
             gap_open=self.gap_open, gap_extend=self.gap_extend,
@@ -287,8 +283,45 @@ class Aligner:
         )
         return [
             self._make_alignment(out, b, qlens[b], len(ridx_list[b]))
-            for b in range(len(refs))
+            for b in range(len(ridx_list))
         ]
+
+    def align_batch(self, queries, references) -> list[Alignment]:
+        """Batched alignment — the TPU-native hot path.
+
+        ``queries=None`` (profile mode) aligns the profile query against
+        every reference; otherwise ``queries`` and ``references`` are
+        parallel lists of byte sequences.  One kernel launch covers the
+        whole batch (one padded shape); for mixed-length workloads use
+        :meth:`align_many`, which length-bins first.
+        """
+        prows, qidxs, ridx_list, qlens = self._prepare(queries, references)
+        return self._run(prows, qidxs, ridx_list, qlens)
+
+    def align_many(self, queries, references,
+                   max_cells: int = 1 << 28) -> list[Alignment]:
+        """Length-binned batched alignment (BASELINE config 5).
+
+        Pairs are grouped by padded-shape bucket so a 100bp pair never
+        pays a 10kbp tile (batch/scheduler.py); results return in input
+        order.
+        """
+        from ..batch import plan_bins
+
+        prows, qidxs, ridx_list, qlens = self._prepare(queries, references)
+        rlens = [len(r) for r in ridx_list]
+        bins = plan_bins(qlens, rlens, max_cells=max_cells)
+        results: list[Alignment | None] = [None] * len(ridx_list)
+        for bin_ in bins:
+            idx = bin_.indices
+            sub = self._run(
+                [prows[i] for i in idx], [qidxs[i] for i in idx],
+                [ridx_list[i] for i in idx], [qlens[i] for i in idx],
+                Qp=bin_.qp, Rp=bin_.rp,
+            )
+            for i, aln in zip(idx, sub):
+                results[i] = aln
+        return results
 
     # -- banded global NW (src/aligner/mod.rs:457-489) -----------------------
     def banded_nw(self, query, reference) -> Alignment:

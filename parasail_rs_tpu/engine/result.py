@@ -243,6 +243,21 @@ class Alignment:
         return TracebackTable(self.fields["trace_table"])
 
     def _walk(self, query: bytes, reference: bytes):
+        # Native C++ walker when built (parasail's host-side traceback is
+        # native C too); the Python golden walker is the fallback oracle.
+        from ..golden.model import Walk, free_flags
+        from ..native import walker
+
+        free = self.free if self.mode != "sw" else free_flags("sw")
+        qb, _, db, _ = free
+        res = walker.walk_one(
+            self.fields["trace_table"], query, reference,
+            self.get_end_query(), self.get_end_ref(),
+            local=self.mode == "sw", qb=qb, db=db,
+        )
+        if res is not None:
+            ops, bq, br = res
+            return Walk(ops=ops, beg_query=bq, beg_ref=br)
         return walk_trace(
             self.fields["trace_table"], query, reference,
             self.get_end_query(), self.get_end_ref(), self.mode, self.free,

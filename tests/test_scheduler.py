@@ -1,0 +1,49 @@
+"""Length-binned scheduler: coverage, caps, and end-to-end equivalence."""
+
+import numpy as np
+
+from parasail_rs_tpu.batch import plan_bins
+from parasail_rs_tpu.engine import Aligner
+from parasail_rs_tpu.matrices import Matrix
+from parasail_rs_tpu.utils.shapes import length_bucket
+
+
+def test_plan_bins_covers_every_index_once():
+    rng = np.random.default_rng(2)
+    qlens = rng.integers(1, 500, size=200)
+    rlens = rng.integers(1, 500, size=200)
+    bins = plan_bins(qlens, rlens)
+    seen = sorted(i for b in bins for i in b.indices)
+    assert seen == list(range(200))
+    for b in bins:
+        for i in b.indices:
+            assert length_bucket(int(qlens[i])) == b.qp
+            assert length_bucket(int(rlens[i])) == b.rp
+
+
+def test_plan_bins_respects_max_cells():
+    qlens = [100] * 1000
+    rlens = [100] * 1000
+    bins = plan_bins(qlens, rlens, max_cells=128 * 112 * 112)
+    for b in bins:
+        assert len(b.indices) * b.qp * b.rp <= 128 * 112 * 112 + b.qp * b.rp
+
+
+def test_align_many_matches_align():
+    rng = np.random.default_rng(9)
+    m = Matrix.create(b"ACGT", 2, -3)
+    qs, rs = [], []
+    for _ in range(17):
+        qs.append(rng.choice(list(b"ACGT"),
+                             size=rng.integers(3, 120)).astype("uint8").tobytes())
+        rs.append(rng.choice(list(b"ACGT"),
+                             size=rng.integers(3, 120)).astype("uint8").tobytes())
+    aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1).local()
+               .use_stats().build())
+    many = aligner.align_many(qs, rs)
+    for q, r, res in zip(qs, rs, many):
+        one = aligner.align(q, r)
+        assert res.get_score() == one.get_score()
+        assert res.get_end_query() == one.get_end_query()
+        assert res.get_end_ref() == one.get_end_ref()
+        assert res.get_matches() == one.get_matches()
