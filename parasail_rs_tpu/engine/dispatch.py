@@ -94,7 +94,7 @@ def execute(
     if _use_pallas(batch, outputs, gap_open, gap_extend):
         out = _execute_pallas(
             batch, gap_open=gap_open, gap_extend=gap_extend,
-            mode=mode, free=free, width=kernel_width,
+            mode=mode, free=free, width=kernel_width, outputs=outputs,
         )
     else:
         out = wavefront_align(
@@ -109,11 +109,11 @@ def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
                 gap_extend: int) -> bool:
     """Route score-only work to the Pallas prefix-scan kernel.
 
-    Requirements (see ops/scan_kernel.py): score outputs, open >= ext
-    (scan exactness), int8-safe substitution scores, and a TPU backend
-    (or PT_FORCE_PALLAS=1, which runs the kernel interpreted — test use).
+    Requirements (see ops/scan_kernel.py): score or trace outputs,
+    open >= ext (scan exactness), int8-safe substitution scores, and a
+    TPU backend (or PT_FORCE_PALLAS=1: runs interpreted — test use).
     """
-    if outputs != "score" or gap_open < gap_extend:
+    if outputs not in ("score", "trace") or gap_open < gap_extend:
         return False
     if batch.profile.min() < -128 or batch.profile.max() > 127:
         return False
@@ -125,7 +125,8 @@ def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
     return jax.default_backend() == "tpu"
 
 
-def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width):
+def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
+                    outputs="score"):
     from ..ops.scan_kernel import LANES, scan_score_align
     import jax
 
@@ -143,7 +144,7 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width):
         padb(batch.profile), padb(batch.ridx),
         padb(batch.qlen), padb(batch.rlen),
         open_=np.int32(gap_open), ext=np.int32(gap_extend),
-        mode=mode, free=free, width=width,
+        mode=mode, free=free, width=width, outputs=outputs,
         interpret=jax.default_backend() != "tpu",
     )
     return {k: np.asarray(v)[:B] for k, v in out.items()}

@@ -43,7 +43,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import NEG_INF32, WIDTH_MAX, WIDTH_MIN
+from ..constants import (
+    NEG_INF32,
+    TRACE_DEL,
+    TRACE_DEL_F,
+    TRACE_DIAG,
+    TRACE_DIAG_E,
+    TRACE_DIAG_F,
+    TRACE_INS,
+    TRACE_INS_E,
+    WIDTH_MAX,
+    WIDTH_MIN,
+)
 
 I32 = jnp.int32
 LANES = 128          # pairs per block (vector lane dim)
@@ -68,7 +79,7 @@ def _prefix_max_exclusive(a, ii, seed):
     return x
 
 
-def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total):
+def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
     """Build the column-sweep kernel body (all config static)."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
@@ -77,7 +88,11 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total):
     detect16 = width in ("16", "sat")
 
     def kernel(gaps_ref, qlen_ref, rlen_ref, scol_ref, out_ref,
-               hprev, fprev, acc):
+               *trace_and_scratch):
+        if want_trace:
+            trace_ref, hprev, fprev, acc = trace_and_scratch
+        else:
+            hprev, fprev, acc = trace_and_scratch
         open_ = gaps_ref[0]
         ext = gaps_ref[1]
         jblk = pl.program_id(1)
@@ -124,6 +139,27 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total):
             pm = _prefix_max_exclusive(a, ii, seedb - open_ - ext)
             E = pm - ext * (ii - 1)
             H = jnp.maximum(htemp, E)
+
+            if want_trace:
+                # Trace flags by the Gotoh comparisons, bit-identical to
+                # the golden oracle (golden/model.py:166-211): the scan's
+                # E/F/H columns carry the same values, so the same >= tie
+                # rules produce the same flags.
+                diag = hdiag + s
+                fflag = jnp.where(hp - open_ >= fp - ext,
+                                  TRACE_DIAG_F, TRACE_DEL_F)
+                h_up = jnp.where(ii == 0, 0, jnp.roll(H, 1, axis=0))
+                e_up = jnp.where(ii == 0, neg, jnp.roll(E, 1, axis=0))
+                eflag = jnp.where((ii == 0) | (h_up - open_ >= e_up - ext),
+                                  TRACE_DIAG_E, TRACE_INS_E)
+                take_diag = (diag >= E) & (diag >= F)
+                hflag = jnp.where(
+                    take_diag, TRACE_DIAG,
+                    jnp.where(E >= F, TRACE_INS, TRACE_DEL))
+                if local:
+                    pre = jnp.maximum(jnp.maximum(diag, E), F)
+                    hflag = jnp.where(pre <= 0, 0, hflag)
+                trace_ref[0, jj, :, :] = (hflag | eflag | fflag).astype(jnp.int8)
 
             hprev[:] = H
             fprev[:] = F
@@ -191,7 +227,7 @@ def build_scol(profile, ridx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "free", "width", "interpret"),
+    static_argnames=("mode", "free", "width", "outputs", "interpret"),
 )
 def scan_score_align(
     profile,       # (B, Qp, A) int32
@@ -204,15 +240,20 @@ def scan_score_align(
     mode: str,
     free: tuple[bool, bool, bool, bool],
     width: str = "32",
+    outputs: str = "score",     # "score" | "trace"
     interpret: bool = False,
 ):
-    """Pallas score-only alignment; same output contract as
-    ``wavefront_align(outputs="score")``.
+    """Pallas alignment kernel; same output contract as
+    ``wavefront_align`` for the ``score`` and ``trace`` output classes.
 
     B must be a multiple of 128 (the engine pads batches); Qp/Rp are the
     padded buckets.  Scores are exact int32; ``width`` only controls the
-    saturation flags (see wavefront_align docstring).
+    saturation flags (see wavefront_align docstring).  With
+    ``outputs="trace"`` the per-cell direction-flag plane is emitted as
+    ``trace_table`` (B, Qp, Rp) int8, bit-identical to the golden
+    oracle's encoding (src/alignment/table.rs:129-141 flag values).
     """
+    want_trace = outputs == "trace"
     B, Qp, A = profile.shape
     Rp = ridx.shape[1]
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
@@ -227,9 +268,20 @@ def scan_score_align(
 
     Jt = min(COL_TILE, Rp)
     nj = pl.cdiv(Rp, Jt)
-    kernel = _make_kernel(Qp, Jt, nj, mode, free, width, Rp)
+    kernel = _make_kernel(Qp, Jt, nj, mode, free, width, Rp,
+                          want_trace=want_trace)
 
-    acc = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((nb, 8, LANES), I32)]
+    out_specs = [pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if want_trace:
+        out_shape.append(
+            jax.ShapeDtypeStruct((nb, Rp, Qp, LANES), jnp.int8))
+        out_specs.append(
+            pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
         kernel,
         grid=(nb, nj),
         in_specs=[
@@ -241,9 +293,8 @@ def scan_score_align(
             pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),                 # scol
         ],
-        out_specs=pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, LANES), I32),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((Qp, LANES), I32),      # hprev
             pltpu.VMEM((Qp, LANES), I32),      # fprev
@@ -255,7 +306,8 @@ def scan_score_align(
         interpret=interpret,
     )(gaps, qlen_b, rlen_b, scol)
 
-    acc = acc.transpose(0, 2, 1).reshape(B, 8)
+    res = res if isinstance(res, (tuple, list)) else (res,)
+    acc = res[0].transpose(0, 2, 1).reshape(B, 8)
     best, bi, bj = acc[:, 0], acc[:, 1], acc[:, 2]
     sat8, sat16 = acc[:, 3] != 0, acc[:, 4] != 0
 
@@ -277,4 +329,8 @@ def scan_score_align(
         out["score"] = jnp.where(empty, 0, best) if mode == "sw" else best
         out["end_query"] = jnp.where(empty, 0, bi)
         out["end_ref"] = jnp.where(empty, 0, bj)
+    if want_trace:
+        # (nb, Rp, Qp, LANES) -> (B, Qp, Rp)
+        out["trace_table"] = (
+            res[1].transpose(0, 3, 2, 1).reshape(B, Qp, Rp))
     return out

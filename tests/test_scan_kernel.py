@@ -91,3 +91,42 @@ def test_engine_pallas_route(monkeypatch):
     monkeypatch.setenv("PT_FORCE_PALLAS", "1")
     via_pallas = aligner.align_batch(qs, rs)
     assert [a.get_score() for a in via_pallas] == base
+
+
+@pytest.mark.parametrize("mode,free", [
+    ("sw", (True, True, True, True)),
+    ("nw", (False, False, False, False)),
+    ("sg", (True, False, True, False)),
+])
+def test_scan_trace_matches_wavefront(mode, free):
+    b = BATCH
+    ref = wavefront_align(
+        b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        outputs="trace", width="32")
+    got = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        width="32", outputs="trace", interpret=True)
+    gt, rt = np.asarray(got["trace_table"]), np.asarray(ref["trace_table"])
+    for i in range(b.size):
+        ql, rl = int(b.qlen[i]), int(b.rlen[i])
+        np.testing.assert_array_equal(
+            gt[i, :ql, :rl], rt[i, :ql, :rl], err_msg=f"{mode}/{free}/{i}")
+
+
+def test_engine_pallas_trace_route(monkeypatch):
+    # Forced Pallas route must produce identical CIGARs to the XLA route.
+    from parasail_rs_tpu.engine import Aligner
+
+    m = Matrix.from_name("blosum62")
+    aligner = (Aligner.new().matrix(m).gap_open(11).gap_extend(1).local()
+               .use_trace().build())
+    qs = [b"MKVLAT", b"HEAGAWGHEE", b"PAWHEAE"]
+    rs = [b"MKVInnnLAT", b"PAWHEAE", b"HEAGAWGHEE"]
+    base = [a.get_cigar(q, r)
+            for a, q, r in zip(aligner.align_batch(qs, rs), qs, rs)]
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    via = [a.get_cigar(q, r)
+           for a, q, r in zip(aligner.align_batch(qs, rs), qs, rs)]
+    assert via == base
