@@ -8,5 +8,6 @@ results come back per-shard; XLA inserts the collectives.
 """
 
 from .sharded import make_device_mesh, sharded_align
+from .seqpar import seqpar_align
 
-__all__ = ["make_device_mesh", "sharded_align"]
+__all__ = ["make_device_mesh", "seqpar_align", "sharded_align"]

@@ -117,6 +117,12 @@ def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
         return False
     if batch.profile.min() < -128 or batch.profile.max() > 127:
         return False
+    # The scan kernel materializes the (B, Rp, Qp) int8 substitution
+    # tensor in HBM; beyond ~1M cells/pair the streaming XLA wavefront
+    # (no substitution tensor) is the better memory citizen.
+    Qp, Rp = batch.profile.shape[1], batch.ridx.shape[1]
+    if Qp * Rp > 1 << 20:
+        return False
     forced = os.environ.get("PT_FORCE_PALLAS") == "1"
     if forced:
         return True
