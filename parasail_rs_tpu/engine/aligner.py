@@ -329,25 +329,39 @@ class Aligner:
 
         Like the reference's, this path is score-only (no tables/trace) and
         requires ``bandwidth`` to have been set at build time.  Cells with
-        ``|i - j| > bandwidth`` are excluded from the DP.
+        ``|i - j| > bandwidth`` are excluded from the DP.  Unlike the
+        reference's scalar C kernel, this runs the batched banded wavefront
+        on the device (``banded_nw_batch`` exposes the batch form).
         """
+        return self.banded_nw_batch([query], [reference])[0]
+
+    def banded_nw_batch(self, queries, references) -> list[Alignment]:
+        """Batched banded global alignment (TPU-native extra)."""
         if self.bandwidth is None:
             raise NoBandwidth(
                 "banded_nw() requires .bandwidth() on the builder")
-        q, r = _as_bytes(query), _as_bytes(reference)
-        qidx, ridx = self.matrix.encode(q), self.matrix.encode(r)
-        sub = self.matrix.scores_for(qidx, ridx).astype(np.int64)
-        score = _banded_nw_fill(sub, self.gap_open, self.gap_extend, self.bandwidth)
-        fields = {
-            "score": score, "end_query": len(q) - 1, "end_ref": len(r) - 1,
-            "saturated": False,
-        }
-        flags = self._flags(False, banded=True)
-        flags.update({"nw": True, "sg": False, "sw": False})
-        return Alignment(
-            fields=fields, flags=flags, query_len=len(q), ref_len=len(r),
-            matrix=self.matrix, free=(False,) * 4, mode="nw",
+        from ..ops.wavefront import wavefront_align
+
+        prows, qidxs, ridx_list, qlens = self._prepare(queries, references)
+        batch = dispatch.build_batch(prows, qidxs, ridx_list)
+        out = wavefront_align(
+            batch.profile, batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+            open_=np.int32(self.gap_open), ext=np.int32(self.gap_extend),
+            mode="nw", free=(False,) * 4, outputs="score", width="32",
+            banded=True, bandwidth=np.int32(self.bandwidth),
         )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for b in range(len(ridx_list)):
+            fields = dispatch.slice_pair(out, b, qlens[b], len(ridx_list[b]))
+            flags = self._flags(False, banded=True)
+            flags.update({"nw": True, "sg": False, "sw": False})
+            results.append(Alignment(
+                fields=fields, flags=flags,
+                query_len=qlens[b], ref_len=len(ridx_list[b]),
+                matrix=self.matrix, free=(False,) * 4, mode="nw",
+            ))
+        return results
 
     # -- SSW emulation (src/aligner/mod.rs:492-529) --------------------------
     def ssw(self, query, reference) -> SSWResult:
@@ -375,9 +389,7 @@ class Aligner:
             bandwidth=None,
         )
         aln = sw.align(q, r)
-        walk = walk_trace(
-            aln.fields["trace_table"], q, r,
-            aln.get_end_query(), aln.get_end_ref(), "sw", (True,) * 4)
+        walk = aln._walk(q, r)  # native C++ walker when available
         # SSW CIGARs use M (not =/X); merge and pack (length << 4 | op).
         from ..constants import cigar_encode
         packed: list[int] = []

@@ -58,7 +58,7 @@ def _shift1(x, fill):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "free", "outputs", "width"),
+    static_argnames=("mode", "free", "outputs", "width", "banded"),
 )
 def wavefront_align(
     profile,       # (B, Qp, A) int32: per-pair query profile P[b,i,a]
@@ -73,6 +73,8 @@ def wavefront_align(
     free: tuple[bool, bool, bool, bool],
     outputs: str,
     width: str = "32",
+    banded: bool = False,
+    bandwidth=0,   # () int32, traced; cells with |i - j| > bandwidth excluded
 ):
     """Run the batched wavefront fill; returns a dict of device arrays.
 
@@ -106,6 +108,7 @@ def wavefront_align(
     neg = jnp.int32(NEG_INF32)
     open_ = jnp.asarray(open_, dtype=I32)
     ext = jnp.asarray(ext, dtype=I32)
+    bw = jnp.asarray(bandwidth, dtype=I32)
     ivec = jnp.arange(Qp, dtype=I32)                       # (Qp,)
 
     # Reference indices re-packed for contiguous per-diagonal slicing:
@@ -114,13 +117,17 @@ def wavefront_align(
     r_rev_padded = jnp.pad(r_rev, ((0, 0), (Qp, Qp)))      # (B, Rp + 2Qp)
 
     # Boundary value of the bordered DP row/col at c consumed chars.
+    # Under banding, boundary cells beyond the band are unreachable
+    # (bordered band: |i - j| <= bandwidth).
     def top_boundary(c):  # H[0][c]
         base = jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32)
-        return jnp.zeros_like(base) if qb else base
+        base = jnp.zeros_like(base) if qb else base
+        return jnp.where(c <= bw, base, neg) if banded else base
 
     def left_boundary(c):  # H[c][0]
         base = jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32)
-        return jnp.zeros_like(base) if db else base
+        base = jnp.zeros_like(base) if db else base
+        return jnp.where(c <= bw, base, neg) if banded else base
 
     def top_len(c):
         return jnp.zeros_like(c) if qb else c.astype(I32)
@@ -208,6 +215,12 @@ def wavefront_align(
         if local:
             clamp0 = H <= 0
             H = jnp.maximum(H, 0)
+
+        if banded:
+            in_band = (jnp.abs(ivec - jvec) <= bw)[None, :]
+            H = jnp.where(in_band, H, neg)
+            E = jnp.where(in_band, E, neg)
+            F = jnp.where(in_band, F, neg)
 
         new = dict(carry)
         new["H2"] = carry["H1"]

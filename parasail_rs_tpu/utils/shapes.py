@@ -24,12 +24,15 @@ def pad_to(arr: np.ndarray, length: int, axis: int = -1, fill=0) -> np.ndarray:
 def length_bucket(n: int, *, minimum: int = 16) -> int:
     """Static-shape bucket for a sequence length.
 
-    Buckets lengths to {16, 32, 48, 64, 96, 128, 192, 256, 384, 512, ...}
-    (x1.5 / x2 ladder) so jit caches a small number of shapes while keeping
-    padding waste under ~33%.
+    Buckets lengths to {16, 24, 32, 48, 64, 96, 128, 192, 256, 384, ...}
+    — powers of two interleaved with 1.5x powers of two — so jit caches a
+    small number of shapes while keeping padding waste under ~33%.  Every
+    bucket is a multiple of 8 (int32 sublane tile).
     """
+    if n <= minimum:
+        return minimum
     b = minimum
     while b < n:
-        b = b * 3 // 2 if (b * 3 // 2) % 16 == 0 else b * 2
-        b = round_up(b, 16)
+        # powers of two interleaved with their 1.5x midpoints
+        b = b + b // 2 if b & (b - 1) == 0 else b + b // 3
     return b

@@ -358,3 +358,32 @@ def test_semi_global_gap_variants_engine():
         g = golden.align_seqs(q, r, Matrix.default(), 0, 0, "sg",
                               golden.free_flags("sg", qgaps, rgaps))
         assert res.get_score() == g.score, (qgaps, rgaps)
+
+
+def test_banded_nw_batch_and_scalar_oracle():
+    # the kernel banded path must match the scalar banded fill
+    from parasail_rs_tpu.engine.aligner import _banded_nw_fill
+
+    rng = np.random.default_rng(21)
+    m = Matrix.create(b"ACGT", 2, -3)
+    for bw in (1, 3, 8):
+        aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1)
+                   .bandwidth(bw).build())
+        qs, rs = [], []
+        for _ in range(6):
+            qs.append(rng.choice(list(b"ACGT"),
+                                 size=rng.integers(4, 30)).astype("uint8").tobytes())
+            rs.append(rng.choice(list(b"ACGT"),
+                                 size=rng.integers(4, 30)).astype("uint8").tobytes())
+        batch = aligner.banded_nw_batch(qs, rs)
+        for q, r, res in zip(qs, rs, batch):
+            sub = m.scores_for(m.encode(q), m.encode(r)).astype(np.int64)
+            want = _banded_nw_fill(sub, 4, 1, bw)
+            got = res.get_score()
+            if want < -(10 ** 8):
+                # corner outside the band: unreachable in both (the
+                # sentinels differ; parasail would be similarly undefined)
+                assert got < -(10 ** 8), (q, r, bw)
+            else:
+                assert got == want, (q, r, bw)
+            assert res.is_banded()
