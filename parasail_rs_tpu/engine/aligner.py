@@ -261,20 +261,24 @@ class Aligner:
             if self.profile.is_null:
                 raise QueryRequired(
                     "Query sequence is required for alignment without a profile.")
+            shared = True
             prows = [self.profile.rows] * len(refs)
             qidxs = [self.profile.qidx] * len(refs)
             qlens = [self.profile.query_len] * len(refs)
         else:
+            shared = False
             qs = [_as_bytes(q) for q in queries]
             if len(qs) != len(refs):
                 raise ValueError("queries and references must have equal length")
             qidxs = [self.matrix.encode(q) for q in qs]
             prows = [profile_rows(self.matrix, qi) for qi in qidxs]
             qlens = [len(q) for q in qs]
-        return prows, qidxs, ridx_list, qlens
+        return prows, qidxs, ridx_list, qlens, shared
 
-    def _run(self, prows, qidxs, ridx_list, qlens, Qp=None, Rp=None):
-        batch = dispatch.build_batch(prows, qidxs, ridx_list, Qp=Qp, Rp=Rp)
+    def _run(self, prows, qidxs, ridx_list, qlens, Qp=None, Rp=None,
+             shared=False):
+        batch = dispatch.build_batch(prows, qidxs, ridx_list, Qp=Qp, Rp=Rp,
+                                     shared_query=shared)
         out = dispatch.execute(
             batch,
             gap_open=self.gap_open, gap_extend=self.gap_extend,
@@ -295,8 +299,9 @@ class Aligner:
         whole batch (one padded shape); for mixed-length workloads use
         :meth:`align_many`, which length-bins first.
         """
-        prows, qidxs, ridx_list, qlens = self._prepare(queries, references)
-        return self._run(prows, qidxs, ridx_list, qlens)
+        prows, qidxs, ridx_list, qlens, shared = self._prepare(
+            queries, references)
+        return self._run(prows, qidxs, ridx_list, qlens, shared=shared)
 
     def align_many(self, queries, references,
                    max_cells: int = 1 << 28) -> list[Alignment]:
@@ -308,7 +313,8 @@ class Aligner:
         """
         from ..batch import plan_bins
 
-        prows, qidxs, ridx_list, qlens = self._prepare(queries, references)
+        prows, qidxs, ridx_list, qlens, shared = self._prepare(
+            queries, references)
         rlens = [len(r) for r in ridx_list]
         bins = plan_bins(qlens, rlens, max_cells=max_cells)
         results: list[Alignment | None] = [None] * len(ridx_list)
@@ -317,7 +323,7 @@ class Aligner:
             sub = self._run(
                 [prows[i] for i in idx], [qidxs[i] for i in idx],
                 [ridx_list[i] for i in idx], [qlens[i] for i in idx],
-                Qp=bin_.qp, Rp=bin_.rp,
+                Qp=bin_.qp, Rp=bin_.rp, shared=shared,
             )
             for i, aln in zip(idx, sub):
                 results[i] = aln
@@ -342,8 +348,10 @@ class Aligner:
                 "banded_nw() requires .bandwidth() on the builder")
         from ..ops.wavefront import wavefront_align
 
-        prows, qidxs, ridx_list, qlens = self._prepare(queries, references)
-        batch = dispatch.build_batch(prows, qidxs, ridx_list)
+        prows, qidxs, ridx_list, qlens, shared = self._prepare(
+            queries, references)
+        batch = dispatch.build_batch(prows, qidxs, ridx_list,
+                                     shared_query=shared)
         out = wavefront_align(
             batch.profile, batch.qidx, batch.ridx, batch.qlen, batch.rlen,
             open_=np.int32(self.gap_open), ext=np.int32(self.gap_extend),

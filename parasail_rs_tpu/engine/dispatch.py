@@ -45,29 +45,36 @@ def build_batch(
     ridx_list: list[np.ndarray],
     Qp: int | None = None,
     Rp: int | None = None,
+    shared_query: bool = False,
 ) -> PairBatch:
     """Pack per-pair (rows, qidx, ridx) into one padded batch.
 
     ``prows_list[b]`` is the (qlen_b, A) profile-row block of pair ``b``
     (see engine.profile.profile_rows); alphabet width A must agree across
     the batch (one matrix per batch, as in the reference Aligner).
+
+    ``shared_query=True`` (profile reuse: one query vs many references)
+    stores the profile/qidx once as (1, Qp, ...) — the kernels broadcast
+    — so a 100k-reference batch ships kilobytes of query data, not
+    gigabytes.
     """
     B = len(ridx_list)
     A = prows_list[0].shape[1]
     Qp = Qp or length_bucket(max(p.shape[0] for p in prows_list))
     Rp = Rp or length_bucket(max(len(r) for r in ridx_list))
-    profile = np.zeros((B, Qp, A), dtype=np.int32)
-    qidx = np.zeros((B, Qp), dtype=np.int32)
+    Bq = 1 if shared_query else B
+    profile = np.zeros((Bq, Qp, A), dtype=np.int32)
+    qidx = np.full((Bq, Qp), -1, dtype=np.int32)
     ridx = np.zeros((B, Rp), dtype=np.int32)
     qlen = np.zeros(B, dtype=np.int32)
     rlen = np.zeros(B, dtype=np.int32)
     for b, (prow, qi, ri) in enumerate(zip(prows_list, qidx_list, ridx_list)):
         ql, rl = prow.shape[0], len(ri)
-        profile[b, :ql] = prow
-        qidx[b, :ql] = qi
-        # padded query lanes must never count as matches: point them at an
-        # index (-1) that no reference index can take
-        qidx[b, ql:] = -1
+        if b < Bq:
+            profile[b, :ql] = prow
+            # padded query lanes must never count as matches: point them
+            # at an index (-1) that no reference index can take
+            qidx[b, :ql] = qi
         ridx[b, :rl] = ri
         qlen[b], rlen[b] = ql, rl
     return PairBatch(profile=profile, qidx=qidx, ridx=ridx, qlen=qlen, rlen=rlen)
@@ -146,8 +153,9 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x, widths)
 
+    prof = batch.profile if batch.profile.shape[0] == 1 else padb(batch.profile)
     out = scan_score_align(
-        padb(batch.profile), padb(batch.ridx),
+        prof, padb(batch.ridx),
         padb(batch.qlen), padb(batch.rlen),
         open_=np.int32(gap_open), ext=np.int32(gap_extend),
         mode=mode, free=free, width=width, outputs=outputs,

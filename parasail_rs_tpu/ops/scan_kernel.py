@@ -212,16 +212,23 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
 def build_scol(profile, ridx):
     """One-hot MXU matmul: (B, Rp, Qp) substitution scores, column-major.
 
-    S[b, j, i] = profile[b, i, ridx[b, j]].  f32 accumulation is exact for
-    |score| < 2^24 (every parasail-style matrix and any sane PSSM).
+    S[b, j, i] = profile[b or 0, i, ridx[b, j]] — a (1, Qp, A) profile is
+    shared across the batch (profile reuse) and becomes a single plain
+    matmul.  f32 accumulation is exact for |score| < 2^24 (every
+    parasail-style matrix and any sane PSSM).
     """
-    B, Qp, A = profile.shape
+    Bp, Qp, A = profile.shape
     onehot = jax.nn.one_hot(ridx, A, dtype=jnp.float32)      # (B, Rp, A)
-    s = jax.lax.dot_general(
-        onehot, profile.astype(jnp.float32),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                        # (B, Rp, Qp)
+    if Bp == 1:
+        s = jnp.einsum(
+            "bra,qa->brq", onehot, profile[0].astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+    else:
+        s = jax.lax.dot_general(
+            onehot, profile.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                    # (B, Rp, Qp)
     return s.astype(jnp.int8)
 
 
@@ -254,8 +261,8 @@ def scan_score_align(
     oracle's encoding (src/alignment/table.rs:129-141 flag values).
     """
     want_trace = outputs == "trace"
-    B, Qp, A = profile.shape
-    Rp = ridx.shape[1]
+    _, Qp, A = profile.shape
+    B, Rp = ridx.shape
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
     nb = B // LANES
 

@@ -93,8 +93,10 @@ def wavefront_align(
     the 16-bit flag (parasail's sat = 8-bit, retry 16-bit, saturated only
     if 16-bit overflows too) and ``promoted`` reports the 8-bit flag.
     """
-    B, Qp, A = profile.shape
-    Rp = ridx.shape[1]
+    # profile/qidx may be (1, Qp, ...) shared across the batch (profile
+    # reuse, reference README.md:38-63) — broadcasting handles the rest.
+    _, Qp, A = profile.shape
+    B, Rp = ridx.shape
     D = Qp + Rp - 1
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free

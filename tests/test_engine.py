@@ -387,3 +387,33 @@ def test_banded_nw_batch_and_scalar_oracle():
             else:
                 assert got == want, (q, r, bw)
             assert res.is_banded()
+
+
+def test_profile_mode_shares_query_tensors():
+    # Profile reuse (one query vs many references) must ship the query
+    # profile once, not once per pair, and stay correct.
+    from parasail_rs_tpu.engine import dispatch as disp
+
+    m = Matrix.from_name("blosum62")
+    profile = Profile.new(b"HEAGAWGHEE", True, m)
+    seen = {}
+    orig = disp.build_batch
+
+    def spy(*args, **kwargs):
+        batch = orig(*args, **kwargs)
+        seen["profile_shape"] = batch.profile.shape
+        return batch
+
+    disp_build, disp.build_batch = disp.build_batch, spy
+    try:
+        aligner = (Aligner.new().profile(profile).use_stats()
+                   .gap_open(11).gap_extend(1).local().build())
+        refs = [b"PAWHEAE", b"AWGHEE", b"HEAGAWGHEE", b"GGGGG"]
+        results = aligner.align_batch(None, refs)
+    finally:
+        disp.build_batch = disp_build
+    assert seen["profile_shape"][0] == 1  # shared, not per-pair
+    for r, res in zip(refs, results):
+        g = golden.align_seqs(b"HEAGAWGHEE", r, m, 11, 1, "sw")
+        assert res.get_score() == g.score
+        assert res.get_matches() == g.matches
