@@ -116,11 +116,15 @@ def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
                 gap_extend: int) -> bool:
     """Route score-only work to the Pallas prefix-scan kernel.
 
-    Requirements (see ops/scan_kernel.py): score or trace outputs,
-    open >= ext (scan exactness), int8-safe substitution scores, and a
-    TPU backend (or PT_FORCE_PALLAS=1: runs interpreted — test use).
+    Requirements (see ops/scan_kernel.py): score/stats/trace outputs,
+    open >= ext (scan exactness; stats need strict > — gap-restart value
+    TIES are possible at open == ext and golden then takes the restart's
+    accumulators), int8-safe substitution scores, and a TPU backend
+    (or PT_FORCE_PALLAS=1: runs interpreted — test use).
     """
-    if outputs not in ("score", "trace") or gap_open < gap_extend:
+    if outputs not in ("score", "stats", "trace") or gap_open < gap_extend:
+        return False
+    if outputs == "stats" and gap_open == gap_extend:
         return False
     if batch.profile.min() < -128 or batch.profile.max() > 127:
         return False
@@ -153,10 +157,13 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x, widths)
 
-    prof = batch.profile if batch.profile.shape[0] == 1 else padb(batch.profile)
+    shared = batch.profile.shape[0] == 1
+    prof = batch.profile if shared else padb(batch.profile)
+    qidx = batch.qidx if shared else padb(batch.qidx)
     out = scan_score_align(
         prof, padb(batch.ridx),
         padb(batch.qlen), padb(batch.rlen),
+        qidx if outputs == "stats" else None,
         open_=np.int32(gap_open), ext=np.int32(gap_extend),
         mode=mode, free=free, width=width, outputs=outputs,
         interpret=jax.default_backend() != "tpu",

@@ -79,7 +79,33 @@ def _prefix_max_exclusive(a, ii, seed):
     return x
 
 
-def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
+def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
+    """Exclusive prefix max over sublanes, carrying payload planes.
+
+    Ties prefer the element already at the position (the LARGER origin
+    row k) — the same preference as the golden oracle's
+    ``e_open >= e_ext`` chain.  Returns (max values, payloads of the
+    winning element).
+    """
+    neg = NEG_INF32
+    x = jnp.where(ii == 0, seed, jnp.roll(a, 1, axis=0))
+    ps = [jnp.where(ii == 0, sp, jnp.roll(p, 1, axis=0))
+          for p, sp in zip(payloads, seed_payloads)]
+    s = 1
+    n = a.shape[0]
+    while s < n:
+        ok = ii >= s
+        xs = jnp.where(ok, jnp.roll(x, s, axis=0), neg)
+        take = xs > x
+        x = jnp.where(take, xs, x)
+        ps = [jnp.where(take, jnp.where(ok, jnp.roll(p, s, axis=0), 0), p)
+              for p in ps]
+        s *= 2
+    return x, ps
+
+
+def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
+                 want_trace=False, want_stats=False):
     """Build the column-sweep kernel body (all config static)."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
@@ -87,12 +113,22 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
     detect8 = width in ("8", "sat")
     detect16 = width in ("16", "sat")
 
-    def kernel(gaps_ref, qlen_ref, rlen_ref, scol_ref, out_ref,
-               *trace_and_scratch):
-        if want_trace:
-            trace_ref, hprev, fprev, acc = trace_and_scratch
-        else:
-            hprev, fprev, acc = trace_and_scratch
+    def kernel(*refs):
+        refs = list(refs)
+        gaps_ref = refs.pop(0)
+        qlen_ref = refs.pop(0)
+        rlen_ref = refs.pop(0)
+        scol_ref = refs.pop(0)
+        qidx_ref = refs.pop(0) if want_stats else None
+        ridx_ref = refs.pop(0) if want_stats else None
+        out_ref = refs.pop(0)
+        trace_ref = refs.pop(0) if want_trace else None
+        hprev, fprev = refs.pop(0), refs.pop(0)
+        if want_stats:
+            hm, hs, hl = refs.pop(0), refs.pop(0), refs.pop(0)
+            fm, fs, fl = refs.pop(0), refs.pop(0), refs.pop(0)
+        acc = refs.pop(0)
+
         open_ = gaps_ref[0]
         ext = gaps_ref[1]
         jblk = pl.program_id(1)
@@ -112,6 +148,15 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
             acc[0:1, :] = jnp.full((1, LANES), neg, I32)       # best score
             acc[1:2, :] = jnp.full((1, LANES), I32(Qp))        # best i
             acc[2:3, :] = jnp.full((1, LANES), BIG, I32)       # best j
+            if want_stats:
+                hm[:] = jnp.zeros((Qp, LANES), I32)
+                hs[:] = jnp.zeros((Qp, LANES), I32)
+                # golden: boundary Hl[i][0] = i (bordered), 0 when free
+                hl[:] = (jnp.zeros((Qp, LANES), I32)
+                         if (db or local) else ii + 1)
+                fm[:] = jnp.zeros((Qp, LANES), I32)
+                fs[:] = jnp.zeros((Qp, LANES), I32)
+                fl[:] = jnp.zeros((Qp, LANES), I32)
 
         def col(jj, _):
             j = jblk * Jt + jj
@@ -119,13 +164,15 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
             hp = hprev[:]
             fp = fprev[:]
 
+            from_open_f = hp - open_ >= fp - ext
             F = jnp.maximum(hp - open_, fp - ext)
             # Top boundary H[0][j] of the bordered grid.
             topb = jnp.where(j > 0, -(open_ + (j - 1) * ext), 0).astype(I32)
             if qb or local:
                 topb = jnp.int32(0)
             hdiag = jnp.where(ii == 0, topb, jnp.roll(hp, 1, axis=0))
-            htemp = jnp.maximum(hdiag + s, F)
+            diag = hdiag + s
+            htemp = jnp.maximum(diag, F)
             if local:
                 htemp = jnp.maximum(htemp, 0)
 
@@ -136,18 +183,71 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
             if qb or local:
                 seedb = jnp.int32(0)
             a = htemp - open_ + ext * ii
-            pm = _prefix_max_exclusive(a, ii, seedb - open_ - ext)
-            E = pm - ext * (ii - 1)
+
+            if want_stats:
+                # Stats planes ride the same recurrences (golden
+                # model.py:166-211); E stats ride the prefix scan as
+                # payloads of the winning origin row — exact for
+                # open > ext (gap-restart ties are impossible then).
+                qidx_c = qidx_ref[0, :, :]                    # (Qp, LANES)
+                ridx_c = ridx_ref[0, pl.ds(jj, 1), :]         # (1, LANES)
+                im = (qidx_c == ridx_c).astype(I32)
+                hm_p, hs_p, hl_p = hm[:], hs[:], hl[:]
+                # diagonal-predecessor stats (boundary row: m=s=0,
+                # l = bordered column index j, 0 when free)
+                top_l = jnp.int32(0) if (qb or local) else j
+                m_d = jnp.where(ii == 0, 0, jnp.roll(hm_p, 1, axis=0))
+                s_d = jnp.where(ii == 0, 0, jnp.roll(hs_p, 1, axis=0))
+                l_d = jnp.where(ii == 0, top_l, jnp.roll(hl_p, 1, axis=0))
+                Dm = m_d + im
+                Ds = s_d + (s > 0).astype(I32)
+                Dl = l_d + 1
+                Fm = jnp.where(from_open_f, hm_p, fm[:])
+                Fs = jnp.where(from_open_f, hs_p, fs[:])
+                Fl = jnp.where(from_open_f, hl_p, fl[:]) + 1
+                # Htemp stats: which of diag/F won (clamp resets later)
+                t_diag = diag >= F
+                Tm = jnp.where(t_diag, Dm, Fm)
+                Ts = jnp.where(t_diag, Ds, Fs)
+                Tlm = jnp.where(t_diag, Dl, Fl) - ii   # "l minus k" payload
+                if local:
+                    zt = htemp == 0
+                    Tm = jnp.where(zt, 0, Tm)
+                    Ts = jnp.where(zt, 0, Ts)
+                    Tlm = jnp.where(zt, -ii, Tlm)
+                seed_l = (jnp.int32(0) if (qb or local) else j + 1) + 1
+                pm, (Em_, Es_, Elm_) = _prefix_argmax_exclusive(
+                    a, (Tm, Ts, Tlm), ii, seedb - open_ - ext,
+                    (jnp.int32(0), jnp.int32(0), seed_l))
+                E = pm - ext * (ii - 1)
+                Em = Em_
+                Es = Es_
+                El = Elm_ + ii
+            else:
+                pm = _prefix_max_exclusive(a, ii, seedb - open_ - ext)
+                E = pm - ext * (ii - 1)
             H = jnp.maximum(htemp, E)
+
+            if want_stats:
+                take_diag = (diag >= E) & (diag >= F)
+                take_e = (~take_diag) & (E >= F)
+                Hm = jnp.where(take_diag, Dm, jnp.where(take_e, Em, Fm))
+                Hs = jnp.where(take_diag, Ds, jnp.where(take_e, Es, Fs))
+                Hl = jnp.where(take_diag, Dl, jnp.where(take_e, El, Fl))
+                if local:
+                    z = H <= 0
+                    Hm = jnp.where(z, 0, Hm)
+                    Hs = jnp.where(z, 0, Hs)
+                    Hl = jnp.where(z, 0, Hl)
+                hm[:], hs[:], hl[:] = Hm, Hs, Hl
+                fm[:], fs[:], fl[:] = Fm, Fs, Fl
 
             if want_trace:
                 # Trace flags by the Gotoh comparisons, bit-identical to
                 # the golden oracle (golden/model.py:166-211): the scan's
                 # E/F/H columns carry the same values, so the same >= tie
                 # rules produce the same flags.
-                diag = hdiag + s
-                fflag = jnp.where(hp - open_ >= fp - ext,
-                                  TRACE_DIAG_F, TRACE_DEL_F)
+                fflag = jnp.where(from_open_f, TRACE_DIAG_F, TRACE_DEL_F)
                 h_up = jnp.where(ii == 0, 0, jnp.roll(H, 1, axis=0))
                 e_up = jnp.where(ii == 0, neg, jnp.roll(E, 1, axis=0))
                 eflag = jnp.where((ii == 0) | (h_up - open_ >= e_up - ext),
@@ -197,6 +297,13 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total, want_trace=False):
             acc[0:1, :] = jnp.where(better, step_best, best)
             acc[1:2, :] = jnp.where(better, step_i, bi)
             acc[2:3, :] = jnp.where(better, jnp.full((1, LANES), j, I32), acc[2:3, :])
+            if want_stats:
+                rowsel = ii == step_i
+                pick = lambda M: jnp.where(rowsel, M, 0).sum(
+                    axis=0, keepdims=True)
+                acc[5:6, :] = jnp.where(better, pick(Hm), acc[5:6, :])
+                acc[6:7, :] = jnp.where(better, pick(Hs), acc[6:7, :])
+                acc[7:8, :] = jnp.where(better, pick(Hl), acc[7:8, :])
             return 0
 
         ncols = jnp.minimum(Jt, rlen_total - jblk * Jt)
@@ -237,17 +344,18 @@ def build_scol(profile, ridx):
     static_argnames=("mode", "free", "width", "outputs", "interpret"),
 )
 def scan_score_align(
-    profile,       # (B, Qp, A) int32
+    profile,       # (B or 1, Qp, A) int32
     ridx,          # (B, Rp) int32
     qlen,          # (B,) int32
     rlen,          # (B,) int32
+    qidx=None,     # (B or 1, Qp) int32 — required for outputs="stats"
     *,
     open_,
     ext,
     mode: str,
     free: tuple[bool, bool, bool, bool],
     width: str = "32",
-    outputs: str = "score",     # "score" | "trace"
+    outputs: str = "score",     # "score" | "stats" | "trace"
     interpret: bool = False,
 ):
     """Pallas alignment kernel; same output contract as
@@ -261,6 +369,7 @@ def scan_score_align(
     oracle's encoding (src/alignment/table.rs:129-141 flag values).
     """
     want_trace = outputs == "trace"
+    want_stats = outputs == "stats"
     _, Qp, A = profile.shape
     B, Rp = ridx.shape
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
@@ -276,7 +385,30 @@ def scan_score_align(
     Jt = min(COL_TILE, Rp)
     nj = pl.cdiv(Rp, Jt)
     kernel = _make_kernel(Qp, Jt, nj, mode, free, width, Rp,
-                          want_trace=want_trace)
+                          want_trace=want_trace, want_stats=want_stats)
+
+    inputs = [gaps, qlen_b, rlen_b, scol]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # gaps
+        pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),                 # qlen
+        pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),                 # rlen
+        pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
+                     memory_space=pltpu.VMEM),                 # scol
+    ]
+    if want_stats:
+        assert qidx is not None, "stats outputs need the mapped query indices"
+        qidx_full = jnp.broadcast_to(jnp.asarray(qidx, I32), (B, Qp))
+        qidx_b = qidx_full.reshape(nb, LANES, Qp).transpose(0, 2, 1)
+        ridx_b = ridx.reshape(nb, LANES, Rp).transpose(0, 2, 1)
+        inputs += [qidx_b, ridx_b]
+        in_specs += [
+            pl.BlockSpec((1, Qp, LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),             # qidx
+            pl.BlockSpec((1, Jt, LANES), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),             # ridx
+        ]
 
     out_shape = [jax.ShapeDtypeStruct((nb, 8, LANES), I32)]
     out_specs = [pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
@@ -288,30 +420,26 @@ def scan_score_align(
             pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM))
 
+    scratch = [
+        pltpu.VMEM((Qp, LANES), I32),      # hprev
+        pltpu.VMEM((Qp, LANES), I32),      # fprev
+    ]
+    if want_stats:
+        scratch += [pltpu.VMEM((Qp, LANES), I32) for _ in range(6)]
+    scratch.append(pltpu.VMEM((8, LANES), I32))    # acc
+
     res = pl.pallas_call(
         kernel,
         grid=(nb, nj),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # gaps
-            pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.VMEM),                 # qlen
-            pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.VMEM),                 # rlen
-            pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
-                         memory_space=pltpu.VMEM),                 # scol
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((Qp, LANES), I32),      # hprev
-            pltpu.VMEM((Qp, LANES), I32),      # fprev
-            pltpu.VMEM((8, LANES), I32),       # acc
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(gaps, qlen_b, rlen_b, scol)
+    )(*inputs)
 
     res = res if isinstance(res, (tuple, list)) else (res,)
     acc = res[0].transpose(0, 2, 1).reshape(B, 8)
@@ -336,6 +464,14 @@ def scan_score_align(
         out["score"] = jnp.where(empty, 0, best) if mode == "sw" else best
         out["end_query"] = jnp.where(empty, 0, bi)
         out["end_ref"] = jnp.where(empty, 0, bj)
+    if want_stats:
+        bm, bs, bl = acc[:, 5], acc[:, 6], acc[:, 7]
+        if mode == "sw":
+            empty = best <= 0
+            bm = jnp.where(empty, 0, bm)
+            bs = jnp.where(empty, 0, bs)
+            bl = jnp.where(empty, 0, bl)
+        out["matches"], out["similar"], out["length"] = bm, bs, bl
     if want_trace:
         # (nb, Rp, Qp, LANES) -> (B, Qp, Rp)
         out["trace_table"] = (

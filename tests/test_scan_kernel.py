@@ -9,6 +9,7 @@ TPU-backend test run (PT_TEST_BACKEND=tpu).
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -35,6 +36,9 @@ def _random_batch(seed=0, n=128, maxlen=28):
 
 
 BATCH = _random_batch()
+# interpret-mode Pallas is only supported on the CPU backend (the axon
+# TPU plugin mis-executes interpreted kernels); on TPU run compiled.
+INTERPRET = jax.default_backend() != "tpu"
 
 CONFIGS = [
     ("sw", (True, True, True, True)),
@@ -56,7 +60,7 @@ def test_scan_matches_wavefront(mode, free):
     got = scan_score_align(
         b.profile, b.ridx, b.qlen, b.rlen,
         open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
-        width="sat", interpret=True)
+        width="sat", interpret=INTERPRET)
     for k in ("score", "end_query", "end_ref", "saturated", "promoted"):
         np.testing.assert_array_equal(
             np.asarray(got[k]), np.asarray(ref[k]), err_msg=f"{mode}/{free}/{k}")
@@ -70,7 +74,7 @@ def test_scan_saturation_flags():
     got = scan_score_align(
         batch.profile, batch.ridx, batch.qlen, batch.rlen,
         open_=np.int32(5), ext=np.int32(1), mode="sw", free=(True,) * 4,
-        width="sat", interpret=True)
+        width="sat", interpret=INTERPRET)
     assert np.asarray(got["score"])[0] == 320
     assert np.asarray(got["promoted"]).all()
     assert not np.asarray(got["saturated"]).any()
@@ -107,7 +111,7 @@ def test_scan_trace_matches_wavefront(mode, free):
     got = scan_score_align(
         b.profile, b.ridx, b.qlen, b.rlen,
         open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
-        width="32", outputs="trace", interpret=True)
+        width="32", outputs="trace", interpret=INTERPRET)
     gt, rt = np.asarray(got["trace_table"]), np.asarray(ref["trace_table"])
     for i in range(b.size):
         ql, rl = int(b.qlen[i]), int(b.rlen[i])
@@ -129,4 +133,42 @@ def test_engine_pallas_trace_route(monkeypatch):
     monkeypatch.setenv("PT_FORCE_PALLAS", "1")
     via = [a.get_cigar(q, r)
            for a, q, r in zip(aligner.align_batch(qs, rs), qs, rs)]
+    assert via == base
+
+
+@pytest.mark.parametrize("mode,free", [
+    ("sw", (True, True, True, True)),
+    ("nw", (False, False, False, False)),
+    ("sg", (True, False, True, False)),
+    ("sg", (False, True, False, True)),
+])
+def test_scan_stats_matches_wavefront(mode, free):
+    b = BATCH
+    ref = wavefront_align(
+        b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        outputs="stats", width="sat")
+    got = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen, b.qidx,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        width="sat", outputs="stats", interpret=INTERPRET)
+    for k in ("score", "end_query", "end_ref", "matches", "similar",
+              "length", "saturated"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(ref[k]), err_msg=f"{mode}/{free}/{k}")
+
+
+def test_engine_pallas_stats_route(monkeypatch):
+    from parasail_rs_tpu.engine import Aligner
+
+    m = Matrix.from_name("blosum62")
+    aligner = (Aligner.new().matrix(m).gap_open(11).gap_extend(1).local()
+               .use_stats().build())
+    qs = [b"MKVLAT", b"HEAGAWGHEE", b"PAWHEAE"]
+    rs = [b"MKVInnnLAT", b"PAWHEAE", b"HEAGAWGHEE"]
+    base = [(a.get_score(), a.get_matches(), a.get_similar(), a.get_length())
+            for a in aligner.align_batch(qs, rs)]
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    via = [(a.get_score(), a.get_matches(), a.get_similar(), a.get_length())
+           for a in aligner.align_batch(qs, rs)]
     assert via == base
