@@ -122,17 +122,20 @@ def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
     accumulators), int8-safe substitution scores, and a TPU backend
     (or PT_FORCE_PALLAS=1: runs interpreted — test use).
     """
-    if outputs not in ("score", "stats", "trace") or gap_open < gap_extend:
+    if gap_open < gap_extend:
         return False
-    if outputs == "stats" and gap_open == gap_extend:
+    if outputs in ("stats", "stats_table", "stats_rowcol") and \
+            gap_open == gap_extend:
         return False
     if batch.profile.min() < -128 or batch.profile.max() > 127:
         return False
     # The scan kernel materializes the (B, Rp, Qp) int8 substitution
     # tensor in HBM; beyond ~1M cells/pair the streaming XLA wavefront
-    # (no substitution tensor) is the better memory citizen.
+    # (no substitution tensor) is the better memory citizen.  Qp is also
+    # bounded: per-column state scratch is Qp x 128 lanes x int32 (x8
+    # planes with stats) and must fit VMEM beside the scol tile.
     Qp, Rp = batch.profile.shape[1], batch.ridx.shape[1]
-    if Qp * Rp > 1 << 20:
+    if Qp * Rp > 1 << 20 or Qp > 2048:
         return False
     forced = os.environ.get("PT_FORCE_PALLAS") == "1"
     if forced:
@@ -163,7 +166,7 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
     out = scan_score_align(
         prof, padb(batch.ridx),
         padb(batch.qlen), padb(batch.rlen),
-        qidx if outputs == "stats" else None,
+        qidx if outputs in ("stats", "stats_table", "stats_rowcol") else None,
         open_=np.int32(gap_open), ext=np.int32(gap_extend),
         mode=mode, free=free, width=width, outputs=outputs,
         interpret=jax.default_backend() != "tpu",

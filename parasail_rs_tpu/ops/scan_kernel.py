@@ -105,13 +105,22 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
 
 
 def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
-                 want_trace=False, want_stats=False):
-    """Build the column-sweep kernel body (all config static)."""
+                 want_trace=False, want_stats=False,
+                 want_table=False, want_rowcol=False):
+    """Build the column-sweep kernel body (all config static).
+
+    Output-class coverage: score (always), stats accumulators
+    (``want_stats``), per-cell trace flags (``want_trace``), full H(+stat)
+    planes (``want_table``), last row/col slices (``want_rowcol``) — the
+    complete parasail output matrix except that tables/rowcol pair with
+    stats when ``want_stats`` is also set.
+    """
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
     neg = NEG_INF32  # plain int: jnp constants made here would be captured
     detect8 = width in ("8", "sat")
     detect16 = width in ("16", "sat")
+    nplanes = 4 if want_stats else 1
 
     def kernel(*refs):
         refs = list(refs)
@@ -123,10 +132,14 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
         ridx_ref = refs.pop(0) if want_stats else None
         out_ref = refs.pop(0)
         trace_ref = refs.pop(0) if want_trace else None
+        tab_refs = [refs.pop(0) for _ in range(nplanes)] if want_table else []
+        row_refs = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
+        col_refs = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
         hprev, fprev = refs.pop(0), refs.pop(0)
         if want_stats:
             hm, hs, hl = refs.pop(0), refs.pop(0), refs.pop(0)
             fm, fs, fl = refs.pop(0), refs.pop(0), refs.pop(0)
+        col_scratch = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
         acc = refs.pop(0)
 
         open_ = gaps_ref[0]
@@ -157,6 +170,8 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
                 fm[:] = jnp.zeros((Qp, LANES), I32)
                 fs[:] = jnp.zeros((Qp, LANES), I32)
                 fl[:] = jnp.zeros((Qp, LANES), I32)
+            for cs in col_scratch:
+                cs[:] = jnp.zeros((Qp, LANES), I32)
 
         def col(jj, _):
             j = jblk * Jt + jj
@@ -265,6 +280,21 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
             fprev[:] = F
 
             inseq = imask & (j < rlen)
+            planes = [H] if not want_stats else [H, Hm, Hs, Hl]
+            if want_table:
+                for tref, P in zip(tab_refs, planes):
+                    tref[0, jj, :, :] = P
+            if want_rowcol:
+                # last query row value at this column (0 beyond rlen,
+                # matching wavefront_align's zero-initialised row)
+                rowsel = (ii == qlen - 1) & inseq
+                for rref, P in zip(row_refs, planes):
+                    rref[0, pl.ds(jj, 1), :] = jnp.where(rowsel, P, 0).sum(
+                        axis=0, keepdims=True)
+                # last reference column (captured when j == rlen-1)
+                colsel = (j == rlen - 1) & imask
+                for cs, P in zip(col_scratch, planes):
+                    cs[:] = jnp.where(colsel, P, cs[:])
             # Saturation detection (8/16-bit width emulation).
             if detect8:
                 hit8 = inseq & ((H >= WIDTH_MAX["8"]) | (H <= WIDTH_MIN["8"]))
@@ -312,6 +342,8 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
         @pl.when(jblk == nj - 1)
         def _fini():
             out_ref[0] = acc[:]
+            for cref, cs in zip(col_refs, col_scratch):
+                cref[0] = cs[:]
 
     return kernel
 
@@ -369,7 +401,10 @@ def scan_score_align(
     oracle's encoding (src/alignment/table.rs:129-141 flag values).
     """
     want_trace = outputs == "trace"
-    want_stats = outputs == "stats"
+    want_stats = outputs in ("stats", "stats_table", "stats_rowcol")
+    want_table = outputs in ("table", "stats_table")
+    want_rowcol = outputs in ("rowcol", "stats_rowcol")
+    nplanes = 4 if want_stats else 1
     _, Qp, A = profile.shape
     B, Rp = ridx.shape
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
@@ -382,10 +417,14 @@ def scan_score_align(
     rlen_b = rlen.reshape(nb, 1, LANES)
     gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32)])
 
-    Jt = min(COL_TILE, Rp)
+    # Column tile sized so the double-buffered scol block stays well
+    # under the 16MB VMEM budget alongside state/stats scratch.
+    fit = max(8, (4 << 20) // (Qp * LANES) // 8 * 8)
+    Jt = min(COL_TILE, Rp, fit)
     nj = pl.cdiv(Rp, Jt)
     kernel = _make_kernel(Qp, Jt, nj, mode, free, width, Rp,
-                          want_trace=want_trace, want_stats=want_stats)
+                          want_trace=want_trace, want_stats=want_stats,
+                          want_table=want_table, want_rowcol=want_rowcol)
 
     inputs = [gaps, qlen_b, rlen_b, scol]
     in_specs = [
@@ -419,6 +458,24 @@ def scan_score_align(
         out_specs.append(
             pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM))
+    if want_table:
+        for _ in range(nplanes):
+            out_shape.append(
+                jax.ShapeDtypeStruct((nb, Rp, Qp, LANES), I32))
+            out_specs.append(
+                pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
+                             memory_space=pltpu.VMEM))
+    if want_rowcol:
+        for _ in range(nplanes):
+            out_shape.append(jax.ShapeDtypeStruct((nb, Rp, LANES), I32))
+            out_specs.append(
+                pl.BlockSpec((1, Jt, LANES), lambda b, j: (b, j, 0),
+                             memory_space=pltpu.VMEM))
+        for _ in range(nplanes):
+            out_shape.append(jax.ShapeDtypeStruct((nb, Qp, LANES), I32))
+            out_specs.append(
+                pl.BlockSpec((1, Qp, LANES), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM))
 
     scratch = [
         pltpu.VMEM((Qp, LANES), I32),      # hprev
@@ -426,6 +483,8 @@ def scan_score_align(
     ]
     if want_stats:
         scratch += [pltpu.VMEM((Qp, LANES), I32) for _ in range(6)]
+    if want_rowcol:
+        scratch += [pltpu.VMEM((Qp, LANES), I32) for _ in range(nplanes)]
     scratch.append(pltpu.VMEM((8, LANES), I32))    # acc
 
     res = pl.pallas_call(
@@ -472,8 +531,23 @@ def scan_score_align(
             bs = jnp.where(empty, 0, bs)
             bl = jnp.where(empty, 0, bl)
         out["matches"], out["similar"], out["length"] = bm, bs, bl
+    names = ("score", "matches", "similar", "length")[:nplanes]
+    ri = 1
     if want_trace:
         # (nb, Rp, Qp, LANES) -> (B, Qp, Rp)
         out["trace_table"] = (
-            res[1].transpose(0, 3, 2, 1).reshape(B, Qp, Rp))
+            res[ri].transpose(0, 3, 2, 1).reshape(B, Qp, Rp))
+        ri += 1
+    if want_table:
+        for name in names:
+            out[f"{name}_table"] = (
+                res[ri].transpose(0, 3, 2, 1).reshape(B, Qp, Rp))
+            ri += 1
+    if want_rowcol:
+        for name in names:
+            out[f"{name}_row"] = res[ri].transpose(0, 2, 1).reshape(B, Rp)
+            ri += 1
+        for name in names:
+            out[f"{name}_col"] = res[ri].transpose(0, 2, 1).reshape(B, Qp)
+            ri += 1
     return out

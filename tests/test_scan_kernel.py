@@ -172,3 +172,39 @@ def test_engine_pallas_stats_route(monkeypatch):
     via = [(a.get_score(), a.get_matches(), a.get_similar(), a.get_length())
            for a in aligner.align_batch(qs, rs)]
     assert via == base
+
+
+@pytest.mark.parametrize("outputs", ["table", "stats_table", "rowcol",
+                                     "stats_rowcol"])
+@pytest.mark.parametrize("mode,free", [
+    ("sw", (True, True, True, True)),
+    ("nw", (False, False, False, False)),
+    ("sg", (True, False, False, True)),
+])
+def test_scan_table_rowcol_matches_wavefront(outputs, mode, free):
+    b = BATCH
+    ref = wavefront_align(
+        b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        outputs=outputs, width="sat")
+    got = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen, b.qidx,
+        open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+        width="sat", outputs=outputs, interpret=INTERPRET)
+    for k in ref:
+        gv, rv = np.asarray(got[k]), np.asarray(ref[k])
+        for i in range(b.size):
+            ql, rl = int(b.qlen[i]), int(b.rlen[i])
+            if k.endswith("_table"):
+                np.testing.assert_array_equal(
+                    gv[i, :ql, :rl], rv[i, :ql, :rl],
+                    err_msg=f"{outputs}/{mode}/{k}/{i}")
+            elif k.endswith("_row"):
+                np.testing.assert_array_equal(
+                    gv[i, :rl], rv[i, :rl], err_msg=f"{outputs}/{mode}/{k}/{i}")
+            elif k.endswith("_col"):
+                np.testing.assert_array_equal(
+                    gv[i, :ql], rv[i, :ql], err_msg=f"{outputs}/{mode}/{k}/{i}")
+            else:
+                np.testing.assert_array_equal(
+                    gv[i], rv[i], err_msg=f"{outputs}/{mode}/{k}/{i}")
