@@ -99,7 +99,7 @@ def execute(
     """
     kernel_width = {"64": "32"}.get(width, width)
     if _use_pallas(batch, outputs, gap_open, gap_extend):
-        out = _execute_pallas(
+        out = _execute_pallas_or_fallback(
             batch, gap_open=gap_open, gap_extend=gap_extend,
             mode=mode, free=free, width=kernel_width, outputs=outputs,
         )
@@ -129,13 +129,19 @@ def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
         return False
     if batch.profile.min() < -128 or batch.profile.max() > 127:
         return False
-    # The scan kernel materializes the (B, Rp, Qp) int8 substitution
-    # tensor in HBM; beyond ~1M cells/pair the streaming XLA wavefront
-    # (no substitution tensor) is the better memory citizen.  Qp is also
-    # bounded: per-column state scratch is Qp x 128 lanes x int32 (x8
-    # planes with stats) and must fit VMEM beside the scol tile.
+    # Memory gates.  VMEM feasibility (tile plan incl. chunked-query
+    # down-state) is computed by the kernel module; HBM is bounded by the
+    # (B, Rp, Qp) int8 substitution tensor plus output planes for
+    # trace/table.  Beyond these the streaming XLA wavefront takes over.
+    from ..ops.scan_kernel import scan_fits
+
     Qp, Rp = batch.profile.shape[1], batch.ridx.shape[1]
-    if Qp * Rp > 1 << 20 or Qp > 2048:
+    if not scan_fits(Qp, Rp, outputs):
+        return False
+    Bpad = (batch.size + 127) // 128 * 128
+    scol_bytes = Bpad * Qp * Rp
+    hbm_factor = {"trace": 2, "table": 5, "stats_table": 17}.get(outputs, 1)
+    if scol_bytes * hbm_factor > 2 << 30:
         return False
     forced = os.environ.get("PT_FORCE_PALLAS") == "1"
     if forced:
@@ -172,6 +178,27 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
         interpret=jax.default_backend() != "tpu",
     )
     return {k: np.asarray(v)[:B] for k, v in out.items()}
+
+
+def _execute_pallas_or_fallback(batch, **kw):
+    """Run the Pallas route; on a device-compile failure (e.g. a VMEM
+    plan miscalibration on an unusual shape) fall back to the wavefront
+    path rather than surfacing an internal error."""
+    import logging
+
+    try:
+        return _execute_pallas(batch, **kw)
+    except Exception as e:  # pragma: no cover - depends on backend
+        logging.getLogger("parasail_rs_tpu").warning(
+            "pallas route failed (%s: %s); falling back to XLA wavefront",
+            type(e).__name__, e)
+        out = wavefront_align(
+            batch.profile, batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+            open_=np.int32(kw["gap_open"]), ext=np.int32(kw["gap_extend"]),
+            mode=kw["mode"], free=kw["free"], outputs=kw["outputs"],
+            width=kw["width"],
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
 
 
 def slice_pair(out: dict, b: int, qlen: int, rlen: int) -> dict:

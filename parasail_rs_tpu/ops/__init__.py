@@ -1,6 +1,7 @@
 """Device kernels: batched wavefront DP fill (XLA + Pallas paths)."""
 
 from .specs import MODES, OUTPUTS, STRATEGIES, WIDTHS, KernelKey
+from .scan_kernel import scan_fits, scan_score_align
 from .wavefront import wavefront_align
 
 __all__ = [
@@ -10,4 +11,6 @@ __all__ = [
     "STRATEGIES",
     "WIDTHS",
     "wavefront_align",
+    "scan_fits",
+    "scan_score_align",
 ]

@@ -1,37 +1,45 @@
-"""Pallas TPU score kernel: batched prefix-scan DP fill.
+"""Pallas TPU kernel: batched prefix-scan DP fill.
 
-This is the speed-of-light score path for the kernel family the reference
-reaches through parasail's `*_scan` C kernels (SURVEY.md §2.2; name
-grammar src/aligner/mod.rs:289-331).  parasail's scan strategy (Daily
-2016) resolves the affine-gap vertical dependency with a prefix scan over
-ONE pair's SIMD stripes; the TPU formulation flips the mapping — 128
-pairs ride the vector lanes, query positions ride the sublanes, and the
-kernel sweeps reference columns:
+This is the speed-of-light device path for the kernel family the
+reference reaches through parasail's `*_scan` C kernels (SURVEY.md §2.2;
+name grammar src/aligner/mod.rs:289-331).  parasail's scan strategy
+(Daily 2016) resolves the affine-gap vertical dependency with a prefix
+scan over ONE pair's SIMD stripes; the TPU formulation flips the mapping
+— 128 pairs ride the vector lanes, query positions ride the sublanes,
+and the kernel sweeps reference columns:
 
-  per column j (all arrays (Qp, LANES), elementwise on the VPU):
+  per column j (all arrays (Qc, LANES), elementwise on the VPU):
     F[i]     = max(Hprev[i] - open, Fprev[i] - ext)        horizontal gap
     Htemp[i] = max(Hprev[i-1] + S[i,j], F[i])              pre-vertical H
     E[i]     = max_{k<=i-1} (Htemp[k] - open - (i-1-k)*ext) vertical gap
     H[i]     = max(Htemp[i], E[i])        (local: clamp 0 before the scan)
 
-  E is a (max,+) prefix over the sublane axis, computed in log2(Qp)
+  E is a (max,+) prefix over the sublane axis, computed in log2(Qc)
   shift+max steps on A[k] = Htemp[k] - open + ext*k.
+
+Long queries are CHUNKED: the grid is (batch-block, query-chunk,
+column-block), and two per-column "downward" state planes — the chunk's
+last-row H and the running prefix max PM[j] = max_{k<r0} A[k,j] — carry
+the DP across chunk boundaries (the single-chip form of the
+sequence-parallel scheme in dist/seqpar.py).
 
 Exactness requires gap_open >= gap_extend (a vertical gap restarted from
 a cell that itself sits in a vertical gap can never beat extending the
 original gap) — the same contract parasail documents for its penalties
-(reference doc: src/aligner/mod.rs:140-154).  The engine falls back to
-the XLA wavefront path otherwise.
+(reference doc: src/aligner/mod.rs:140-154).  Stats additionally require
+strict gap_open > gap_extend (at equality, gap-restart value ties exist
+and the golden recurrence follows the restart's accumulators).  The
+engine falls back to the XLA wavefront path otherwise.
 
 Substitution scores are precomputed OUTSIDE the kernel as one one-hot
 matmul on the MXU — S[b, j, i] = onehot(ridx)[b, j, :] @ profile[b, i, :]
 — which lands directly in the column-major (Rp, Qp) layout the sweep
 consumes: the kernel contains no gathers at all.
 
-Covers modes nw/sg(all free-end variants)/sw, per-pair lengths, and the
-8/16-bit saturation detection of the width ladder.  Outputs: score,
-end_query, end_ref, saturated (+ promoted for "sat"), matching
-`wavefront_align`'s score-output contract bit for bit.
+Output-class coverage: score / stats / table / stats_table / rowcol /
+stats_rowcol / trace — the full parasail output matrix; stats and rowcol
+classes are limited to un-chunked queries (their state planes don't fit
+VMEM beyond that; ``scan_fits`` reports routability).
 """
 
 from __future__ import annotations
@@ -58,16 +66,61 @@ from ..constants import (
 
 I32 = jnp.int32
 LANES = 128          # pairs per block (vector lane dim)
-COL_TILE = 256       # reference columns streamed per grid step
+COL_TILE = 256       # max reference columns per grid step
+Q_CHUNK = 1024       # query rows per chunk when chunking kicks in
 BIG = 2**30
+VMEM_BUDGET = 13 << 20   # usable VMEM after compiler slack
+
+
+def _classes(outputs):
+    want_trace = outputs == "trace"
+    want_stats = outputs in ("stats", "stats_table", "stats_rowcol")
+    want_table = outputs in ("table", "stats_table")
+    want_rowcol = outputs in ("rowcol", "stats_rowcol")
+    return want_trace, want_stats, want_table, want_rowcol
+
+
+def _plan(Qp, Rp, outputs):
+    """(Qc, nq, Jt, nj) tile plan, or None if it cannot fit VMEM."""
+    want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
+    nplanes = 4 if want_stats else 1
+    if Qp <= 2 * Q_CHUNK:
+        Qc = Qp
+    elif want_stats or want_rowcol:
+        return None              # chunking would need stats down-planes
+    else:
+        Qc = Q_CHUNK
+        if Qp % Qc:
+            return None
+    nq = Qp // Qc
+    Rpad = (Rp + 7) // 8 * 8
+    ndown = 0 if nq == 1 else (3 if want_trace else 2)
+    nstate = 2 + (6 if want_stats else 0) + (nplanes if want_rowcol else 0)
+    # ~live column-loop temporaries (H/E/F/htemp/prefix slabs), measured
+    # against Mosaic's scoped-stack accounting
+    live = 20 if want_stats else 12
+    fixed = ((nstate + live) * Qc * LANES * 4 + ndown * Rpad * LANES * 4
+             + (9 + nplanes) * LANES * 4)
+    out_cell = (1 if want_trace else 0) + (4 * nplanes if want_table else 0)
+    per_col = Qc * LANES * (1 + out_cell) * 2      # double-buffered
+    budget = VMEM_BUDGET - fixed
+    if budget < per_col:
+        return None
+    Jt = max(1, min(COL_TILE, Rp, budget // per_col))
+    return Qc, nq, Jt, pl.cdiv(Rp, Jt)
+
+
+def scan_fits(Qp, Rp, outputs) -> bool:
+    """Can the scan kernel serve this padded shape + output class?"""
+    return _plan(Qp, Rp, outputs) is not None
 
 
 def _prefix_max_exclusive(a, ii, seed):
     """Exclusive (max) prefix along the sublane axis 0.
 
     out[i] = max(seed, a[0..i-1]) — ``seed`` is the virtual row above the
-    grid (the top-boundary gap origin).  Hillis-Steele with static shifts:
-    log2(Qp) shift+max slab ops.
+    chunk (boundary cell or cross-chunk prefix max).  Hillis-Steele with
+    static shifts: log2(Qc) shift+max slab ops.
     """
     x = jnp.where(ii == 0, seed, jnp.roll(a, 1, axis=0))
     s = 1
@@ -104,23 +157,17 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
     return x, ps
 
 
-def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
+def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                  want_trace=False, want_stats=False,
                  want_table=False, want_rowcol=False):
-    """Build the column-sweep kernel body (all config static).
-
-    Output-class coverage: score (always), stats accumulators
-    (``want_stats``), per-cell trace flags (``want_trace``), full H(+stat)
-    planes (``want_table``), last row/col slices (``want_rowcol``) — the
-    complete parasail output matrix except that tables/rowcol pair with
-    stats when ``want_stats`` is also set.
-    """
+    """Build the column-sweep kernel body (all config static)."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
     neg = NEG_INF32  # plain int: jnp constants made here would be captured
     detect8 = width in ("8", "sat")
     detect16 = width in ("16", "sat")
     nplanes = 4 if want_stats else 1
+    chunked = nq > 1
 
     def kernel(*refs):
         refs = list(refs)
@@ -140,71 +187,103 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
             hm, hs, hl = refs.pop(0), refs.pop(0), refs.pop(0)
             fm, fs, fl = refs.pop(0), refs.pop(0), refs.pop(0)
         col_scratch = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
+        htop_scr = refs.pop(0)
+        if chunked:
+            dH, dPM = refs.pop(0), refs.pop(0)
+            dE = refs.pop(0) if want_trace else None
         acc = refs.pop(0)
 
         open_ = gaps_ref[0]
         ext = gaps_ref[1]
-        jblk = pl.program_id(1)
-        ii = jax.lax.broadcasted_iota(I32, (Qp, LANES), 0)
+        tq = pl.program_id(1)
+        jblk = pl.program_id(2)
+        r0 = tq * Qc
+        ii = jax.lax.broadcasted_iota(I32, (Qc, LANES), 0)
+        ig = r0 + ii                               # global query row
         qlen = qlen_ref[0, :, :]                   # (1, LANES)
         rlen = rlen_ref[0, :, :]
-        imask = ii < qlen
+        imask = ig < qlen
 
-        @pl.when(jblk == 0)
-        def _init():
-            # Bordered left column H[i+1][0] (reference golden semantics:
-            # free db zeroes it; see golden/model.py boundary setup).
-            left = -(open_ + ii * ext)
-            hprev[:] = jnp.zeros_like(left) if db else left
-            fprev[:] = jnp.full((Qp, LANES), neg)
+        def top_b(c):
+            # bordered H[0][c]
+            if qb or local:
+                return jnp.int32(0)
+            return jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32)
+
+        def left_b(c):
+            # bordered H[c][0]
+            if db or local:
+                return jnp.zeros_like(jnp.asarray(c), I32)
+            return jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32)
+
+        @pl.when((tq == 0) & (jblk == 0))
+        def _init_acc():
             acc[:] = jnp.zeros((8, LANES), I32)
             acc[0:1, :] = jnp.full((1, LANES), neg, I32)       # best score
-            acc[1:2, :] = jnp.full((1, LANES), I32(Qp))        # best i
+            acc[1:2, :] = jnp.full((1, LANES), I32(qp_total))  # best i
             acc[2:3, :] = jnp.full((1, LANES), BIG, I32)       # best j
-            if want_stats:
-                hm[:] = jnp.zeros((Qp, LANES), I32)
-                hs[:] = jnp.zeros((Qp, LANES), I32)
-                # golden: boundary Hl[i][0] = i (bordered), 0 when free
-                hl[:] = (jnp.zeros((Qp, LANES), I32)
-                         if (db or local) else ii + 1)
-                fm[:] = jnp.zeros((Qp, LANES), I32)
-                fs[:] = jnp.zeros((Qp, LANES), I32)
-                fl[:] = jnp.zeros((Qp, LANES), I32)
             for cs in col_scratch:
-                cs[:] = jnp.zeros((Qp, LANES), I32)
+                cs[:] = jnp.zeros((Qc, LANES), I32)
+
+        @pl.when(jblk == 0)
+        def _init_chunk():
+            # Bordered left column H[i+1][0] of this chunk's rows.
+            hprev[:] = left_b(ig + 1) * jnp.ones((Qc, LANES), I32)
+            fprev[:] = jnp.full((Qc, LANES), neg)
+            # H[r0-1, -1 bordered] = bordered (r0, 0): the first column's
+            # row-0 diagonal predecessor.
+            htop_scr[0:1, :] = jnp.full((1, LANES), 1, I32) * left_b(r0)
+            if want_stats:
+                hm[:] = jnp.zeros((Qc, LANES), I32)
+                hs[:] = jnp.zeros((Qc, LANES), I32)
+                # golden: boundary Hl[i][0] = i (bordered), 0 when free
+                hl[:] = (jnp.zeros((Qc, LANES), I32)
+                         if (db or local) else ig + 1)
+                fm[:] = jnp.zeros((Qc, LANES), I32)
+                fs[:] = jnp.zeros((Qc, LANES), I32)
+                fl[:] = jnp.zeros((Qc, LANES), I32)
 
         def col(jj, _):
             j = jblk * Jt + jj
-            s = scol_ref[0, jj, :, :].astype(I32)       # (Qp, LANES)
+            s = scol_ref[0, jj, :, :].astype(I32)       # (Qc, LANES)
             hp = hprev[:]
             fp = fprev[:]
 
             from_open_f = hp - open_ >= fp - ext
             F = jnp.maximum(hp - open_, fp - ext)
-            # Top boundary H[0][j] of the bordered grid.
-            topb = jnp.where(j > 0, -(open_ + (j - 1) * ext), 0).astype(I32)
-            if qb or local:
-                topb = jnp.int32(0)
-            hdiag = jnp.where(ii == 0, topb, jnp.roll(hp, 1, axis=0))
+            # Diagonal predecessor of the chunk's top row: H[r0-1, j-1],
+            # carried column-to-column through htop_scr.
+            htopd = htop_scr[0:1, :]
+            hdiag = jnp.where(ii == 0, htopd, jnp.roll(hp, 1, axis=0))
             diag = hdiag + s
             htemp = jnp.maximum(diag, F)
             if local:
                 htemp = jnp.maximum(htemp, 0)
 
-            # Virtual row above the grid: the top-boundary cell H[0][j+1]
-            # of the bordered grid is a legal vertical-gap origin
-            # (A[-1] = H[0][j+1] - open + ext*(-1)).
-            seedb = -(open_ + j * ext)
-            if qb or local:
-                seedb = jnp.int32(0)
-            a = htemp - open_ + ext * ii
+            # Cell directly above the chunk: H[r0-1, j] — boundary row for
+            # the top chunk, the previous chunk's last row otherwise.
+            ones = jnp.ones((1, LANES), I32)
+            if chunked:
+                dH_j = dH[pl.ds(j, 1), :]
+                toph = jnp.where(tq == 0, top_b(j + 1) * ones, dH_j)
+            else:
+                toph = top_b(j + 1) * ones
+            # Vertical-gap origin above the chunk: for the top chunk the
+            # boundary cell (A[-1] = H[0][j+1] - open + ext*(-1)); deeper
+            # chunks use the carried cross-chunk prefix max.
+            seed0 = top_b(j + 1) - open_ + ext * (r0 - 1)
+            if chunked:
+                seed = jnp.where(tq == 0, seed0 * ones, dPM[pl.ds(j, 1), :])
+            else:
+                seed = seed0 * ones
+            a = htemp - open_ + ext * ig
 
             if want_stats:
                 # Stats planes ride the same recurrences (golden
                 # model.py:166-211); E stats ride the prefix scan as
                 # payloads of the winning origin row — exact for
                 # open > ext (gap-restart ties are impossible then).
-                qidx_c = qidx_ref[0, :, :]                    # (Qp, LANES)
+                qidx_c = qidx_ref[0, :, :]                    # (Qc, LANES)
                 ridx_c = ridx_ref[0, pl.ds(jj, 1), :]         # (1, LANES)
                 im = (qidx_c == ridx_c).astype(I32)
                 hm_p, hs_p, hl_p = hm[:], hs[:], hl[:]
@@ -224,23 +303,21 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
                 t_diag = diag >= F
                 Tm = jnp.where(t_diag, Dm, Fm)
                 Ts = jnp.where(t_diag, Ds, Fs)
-                Tlm = jnp.where(t_diag, Dl, Fl) - ii   # "l minus k" payload
+                Tlm = jnp.where(t_diag, Dl, Fl) - ig   # "l minus k" payload
                 if local:
                     zt = htemp == 0
                     Tm = jnp.where(zt, 0, Tm)
                     Ts = jnp.where(zt, 0, Ts)
-                    Tlm = jnp.where(zt, -ii, Tlm)
+                    Tlm = jnp.where(zt, -ig, Tlm)
                 seed_l = (jnp.int32(0) if (qb or local) else j + 1) + 1
-                pm, (Em_, Es_, Elm_) = _prefix_argmax_exclusive(
-                    a, (Tm, Ts, Tlm), ii, seedb - open_ - ext,
+                pm, (Em, Es, Elm) = _prefix_argmax_exclusive(
+                    a, (Tm, Ts, Tlm), ii, seed,
                     (jnp.int32(0), jnp.int32(0), seed_l))
-                E = pm - ext * (ii - 1)
-                Em = Em_
-                Es = Es_
-                El = Elm_ + ii
+                E = pm - ext * (ig - 1)
+                El = Elm + ig
             else:
-                pm = _prefix_max_exclusive(a, ii, seedb - open_ - ext)
-                E = pm - ext * (ii - 1)
+                pm = _prefix_max_exclusive(a, ii, seed)
+                E = pm - ext * (ig - 1)
             H = jnp.maximum(htemp, E)
 
             if want_stats:
@@ -263,9 +340,13 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
                 # E/F/H columns carry the same values, so the same >= tie
                 # rules produce the same flags.
                 fflag = jnp.where(from_open_f, TRACE_DIAG_F, TRACE_DEL_F)
-                h_up = jnp.where(ii == 0, 0, jnp.roll(H, 1, axis=0))
-                e_up = jnp.where(ii == 0, neg, jnp.roll(E, 1, axis=0))
-                eflag = jnp.where((ii == 0) | (h_up - open_ >= e_up - ext),
+                h_up = jnp.where(ii == 0, toph, jnp.roll(H, 1, axis=0))
+                if chunked:
+                    e_top = jnp.where(tq == 0, neg * ones, dE[pl.ds(j, 1), :])
+                else:
+                    e_top = neg * ones
+                e_up = jnp.where(ii == 0, e_top, jnp.roll(E, 1, axis=0))
+                eflag = jnp.where(h_up - open_ >= e_up - ext,
                                   TRACE_DIAG_E, TRACE_INS_E)
                 take_diag = (diag >= E) & (diag >= F)
                 hflag = jnp.where(
@@ -278,6 +359,13 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
 
             hprev[:] = H
             fprev[:] = F
+            htop_scr[0:1, :] = toph
+            if chunked:
+                dH[pl.ds(j, 1), :] = H[Qc - 1:Qc, :]
+                dPM[pl.ds(j, 1), :] = jnp.maximum(
+                    seed, a.max(axis=0, keepdims=True))
+                if want_trace:
+                    dE[pl.ds(j, 1), :] = E[Qc - 1:Qc, :]
 
             inseq = imask & (j < rlen)
             planes = [H] if not want_stats else [H, Hm, Hs, Hl]
@@ -287,7 +375,7 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
             if want_rowcol:
                 # last query row value at this column (0 beyond rlen,
                 # matching wavefront_align's zero-initialised row)
-                rowsel = (ii == qlen - 1) & inseq
+                rowsel = (ig == qlen - 1) & inseq
                 for rref, P in zip(row_refs, planes):
                     rref[0, pl.ds(jj, 1), :] = jnp.where(rowsel, P, 0).sum(
                         axis=0, keepdims=True)
@@ -298,13 +386,15 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
             # Saturation detection (8/16-bit width emulation).
             if detect8:
                 hit8 = inseq & ((H >= WIDTH_MAX["8"]) | (H <= WIDTH_MIN["8"]))
-                acc[3:4, :] = acc[3:4, :] | hit8.any(axis=0, keepdims=True).astype(I32)
+                acc[3:4, :] = acc[3:4, :] | hit8.any(
+                    axis=0, keepdims=True).astype(I32)
             if detect16:
                 hit16 = inseq & ((H >= WIDTH_MAX["16"]) | (H <= WIDTH_MIN["16"]))
-                acc[4:5, :] = acc[4:5, :] | hit16.any(axis=0, keepdims=True).astype(I32)
+                acc[4:5, :] = acc[4:5, :] | hit16.any(
+                    axis=0, keepdims=True).astype(I32)
 
             # End-cell candidates (same accumulation as wavefront_align).
-            last_row = ii == qlen - 1
+            last_row = ig == qlen - 1
             last_col = j == rlen - 1
             if local:
                 cand = inseq & (H > 0)
@@ -318,17 +408,18 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
             else:
                 cand = last_row & last_col & inseq
             Hc = jnp.where(cand, H, neg)
-            step_best = Hc.max(axis=0, keepdims=True)               # (1, LANES)
+            step_best = Hc.max(axis=0, keepdims=True)           # (1, LANES)
             step_i = jnp.where(
-                Hc == step_best, ii, I32(Qp)).min(axis=0, keepdims=True)
+                Hc == step_best, ig, I32(qp_total)).min(axis=0, keepdims=True)
             best, bi = acc[0:1, :], acc[1:2, :]
             better = (step_best > best) | (
                 (step_best == best) & (step_best > neg) & (step_i < bi))
             acc[0:1, :] = jnp.where(better, step_best, best)
             acc[1:2, :] = jnp.where(better, step_i, bi)
-            acc[2:3, :] = jnp.where(better, jnp.full((1, LANES), j, I32), acc[2:3, :])
+            acc[2:3, :] = jnp.where(
+                better, jnp.full((1, LANES), j, I32), acc[2:3, :])
             if want_stats:
-                rowsel = ii == step_i
+                rowsel = ig == step_i
                 pick = lambda M: jnp.where(rowsel, M, 0).sum(
                     axis=0, keepdims=True)
                 acc[5:6, :] = jnp.where(better, pick(Hm), acc[5:6, :])
@@ -339,7 +430,7 @@ def _make_kernel(Qp, Jt, nj, mode, free, width, rlen_total,
         ncols = jnp.minimum(Jt, rlen_total - jblk * Jt)
         jax.lax.fori_loop(0, ncols, col, 0)
 
-        @pl.when(jblk == nj - 1)
+        @pl.when((tq == nq - 1) & (jblk == nj - 1))
         def _fini():
             out_ref[0] = acc[:]
             for cref, cs in zip(col_refs, col_scratch):
@@ -380,35 +471,37 @@ def scan_score_align(
     ridx,          # (B, Rp) int32
     qlen,          # (B,) int32
     rlen,          # (B,) int32
-    qidx=None,     # (B or 1, Qp) int32 — required for outputs="stats"
+    qidx=None,     # (B or 1, Qp) int32 — required for stats outputs
     *,
     open_,
     ext,
     mode: str,
     free: tuple[bool, bool, bool, bool],
     width: str = "32",
-    outputs: str = "score",     # "score" | "stats" | "trace"
+    outputs: str = "score",
     interpret: bool = False,
 ):
     """Pallas alignment kernel; same output contract as
-    ``wavefront_align`` for the ``score`` and ``trace`` output classes.
+    ``wavefront_align`` for every output class.
 
     B must be a multiple of 128 (the engine pads batches); Qp/Rp are the
     padded buckets.  Scores are exact int32; ``width`` only controls the
-    saturation flags (see wavefront_align docstring).  With
-    ``outputs="trace"`` the per-cell direction-flag plane is emitted as
-    ``trace_table`` (B, Qp, Rp) int8, bit-identical to the golden
-    oracle's encoding (src/alignment/table.rs:129-141 flag values).
+    saturation flags (see wavefront_align docstring).  ``scan_fits``
+    reports whether a shape/output combination is servable.
     """
-    want_trace = outputs == "trace"
-    want_stats = outputs in ("stats", "stats_table", "stats_rowcol")
-    want_table = outputs in ("table", "stats_table")
-    want_rowcol = outputs in ("rowcol", "stats_rowcol")
+    want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
     nplanes = 4 if want_stats else 1
     _, Qp, A = profile.shape
     B, Rp = ridx.shape
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
     nb = B // LANES
+    plan = _plan(Qp, Rp, outputs)
+    assert plan is not None, (
+        f"shape (Qp={Qp}, Rp={Rp}, {outputs}) does not fit the scan "
+        f"kernel; route to wavefront_align")
+    Qc, nq, Jt, nj = plan
+    Rpad = (Rp + 7) // 8 * 8
+    chunked = nq > 1
 
     scol = build_scol(profile, ridx)                         # (B, Rp, Qp) int8
     # Lanes-last layout: (nb, Rp, Qp, LANES).
@@ -417,23 +510,18 @@ def scan_score_align(
     rlen_b = rlen.reshape(nb, 1, LANES)
     gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32)])
 
-    # Column tile sized so the double-buffered scol block stays well
-    # under the 16MB VMEM budget alongside state/stats scratch.
-    fit = max(8, (4 << 20) // (Qp * LANES) // 8 * 8)
-    Jt = min(COL_TILE, Rp, fit)
-    nj = pl.cdiv(Rp, Jt)
-    kernel = _make_kernel(Qp, Jt, nj, mode, free, width, Rp,
+    kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rp, Qp,
                           want_trace=want_trace, want_stats=want_stats,
                           want_table=want_table, want_rowcol=want_rowcol)
 
     inputs = [gaps, qlen_b, rlen_b, scol]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # gaps
-        pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
+        pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),                 # qlen
-        pl.BlockSpec((1, 1, LANES), lambda b, j: (b, 0, 0),
+        pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),                 # rlen
-        pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
+        pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
                      memory_space=pltpu.VMEM),                 # scol
     ]
     if want_stats:
@@ -443,59 +531,65 @@ def scan_score_align(
         ridx_b = ridx.reshape(nb, LANES, Rp).transpose(0, 2, 1)
         inputs += [qidx_b, ridx_b]
         in_specs += [
-            pl.BlockSpec((1, Qp, LANES), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
                          memory_space=pltpu.VMEM),             # qidx
-            pl.BlockSpec((1, Jt, LANES), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
                          memory_space=pltpu.VMEM),             # ridx
         ]
 
     out_shape = [jax.ShapeDtypeStruct((nb, 8, LANES), I32)]
-    out_specs = [pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
+    out_specs = [pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
                               memory_space=pltpu.VMEM)]
     if want_trace:
         out_shape.append(
             jax.ShapeDtypeStruct((nb, Rp, Qp, LANES), jnp.int8))
         out_specs.append(
-            pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
+            pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
                          memory_space=pltpu.VMEM))
     if want_table:
         for _ in range(nplanes):
             out_shape.append(
                 jax.ShapeDtypeStruct((nb, Rp, Qp, LANES), I32))
             out_specs.append(
-                pl.BlockSpec((1, Jt, Qp, LANES), lambda b, j: (b, j, 0, 0),
+                pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
                              memory_space=pltpu.VMEM))
     if want_rowcol:
         for _ in range(nplanes):
             out_shape.append(jax.ShapeDtypeStruct((nb, Rp, LANES), I32))
             out_specs.append(
-                pl.BlockSpec((1, Jt, LANES), lambda b, j: (b, j, 0),
+                pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
                              memory_space=pltpu.VMEM))
         for _ in range(nplanes):
             out_shape.append(jax.ShapeDtypeStruct((nb, Qp, LANES), I32))
             out_specs.append(
-                pl.BlockSpec((1, Qp, LANES), lambda b, j: (b, 0, 0),
+                pl.BlockSpec((1, Qp, LANES), lambda b, t, j: (b, 0, 0),
                              memory_space=pltpu.VMEM))
 
     scratch = [
-        pltpu.VMEM((Qp, LANES), I32),      # hprev
-        pltpu.VMEM((Qp, LANES), I32),      # fprev
+        pltpu.VMEM((Qc, LANES), I32),      # hprev
+        pltpu.VMEM((Qc, LANES), I32),      # fprev
     ]
     if want_stats:
-        scratch += [pltpu.VMEM((Qp, LANES), I32) for _ in range(6)]
+        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
     if want_rowcol:
-        scratch += [pltpu.VMEM((Qp, LANES), I32) for _ in range(nplanes)]
+        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(nplanes)]
+    scratch.append(pltpu.VMEM((1, LANES), I32))    # htop carry
+    if chunked:
+        scratch += [pltpu.VMEM((Rpad, LANES), I32),    # dH
+                    pltpu.VMEM((Rpad, LANES), I32)]    # dPM
+        if want_trace:
+            scratch.append(pltpu.VMEM((Rpad, LANES), I32))  # dE
     scratch.append(pltpu.VMEM((8, LANES), I32))    # acc
 
     res = pl.pallas_call(
         kernel,
-        grid=(nb, nj),
+        grid=(nb, nq, nj),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
@@ -531,6 +625,7 @@ def scan_score_align(
             bs = jnp.where(empty, 0, bs)
             bl = jnp.where(empty, 0, bl)
         out["matches"], out["similar"], out["length"] = bm, bs, bl
+
     names = ("score", "matches", "similar", "length")[:nplanes]
     ri = 1
     if want_trace:

@@ -208,3 +208,36 @@ def test_scan_table_rowcol_matches_wavefront(outputs, mode, free):
             else:
                 np.testing.assert_array_equal(
                     gv[i], rv[i], err_msg=f"{outputs}/{mode}/{k}/{i}")
+
+
+def test_scan_chunked_query_vs_golden():
+    # Qp=3072 > chunk threshold -> 3 query chunks with cross-chunk
+    # down-state (dH/dPM/dE); score and trace must stay golden-exact.
+    from parasail_rs_tpu.golden import model as golden
+    from parasail_rs_tpu.ops.scan_kernel import scan_fits
+
+    assert scan_fits(3072, 96, "score") and scan_fits(3072, 96, "trace")
+    assert not scan_fits(3072, 96, "stats")
+    m = Matrix.create(b"ACGT", 2, -3)
+    rng = np.random.default_rng(17)
+    pairs, prows, qidxs, ridxs = [], [], [], []
+    for ql, rl in [(3000, 90), (2500, 60), (3072, 96), (1, 1)] + [(64, 64)] * 124:
+        q = rng.choice(list(b"ACGT"), size=ql).astype("uint8").tobytes()
+        r = rng.choice(list(b"ACGT"), size=rl).astype("uint8").tobytes()
+        pairs.append((q, r))
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    b = build_batch(prows, qidxs, ridxs, Qp=3072, Rp=96)
+    out = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(5), ext=np.int32(1), mode="sw", free=(True,) * 4,
+        width="sat", outputs="trace", interpret=INTERPRET)
+    for i in (0, 1, 2, 3):
+        q, r = pairs[i]
+        g = golden.align_seqs(q, r, m, 5, 1, "sw")
+        assert int(out["score"][i]) == g.score
+        assert int(out["end_query"][i]) == g.end_query
+        tt = np.asarray(out["trace_table"])[i, :len(q), :len(r)]
+        np.testing.assert_array_equal(tt, g.trace_table, err_msg=str(i))
