@@ -254,31 +254,18 @@ class Aligner:
         return self.align_batch(
             None if query is None else [query], [reference])[0]
 
-    def _prepare(self, queries, references):
-        refs = [_as_bytes(r) for r in references]
-        ridx_list = [self.matrix.encode(r) for r in refs]
+    def _pack(self, queries, references, Qp=None, Rp=None):
         if queries is None:
             if self.profile.is_null:
                 raise QueryRequired(
                     "Query sequence is required for alignment without a profile.")
-            shared = True
-            prows = [self.profile.rows] * len(refs)
-            qidxs = [self.profile.qidx] * len(refs)
-            qlens = [self.profile.query_len] * len(refs)
-        else:
-            shared = False
-            qs = [_as_bytes(q) for q in queries]
-            if len(qs) != len(refs):
-                raise ValueError("queries and references must have equal length")
-            qidxs = [self.matrix.encode(q) for q in qs]
-            prows = [profile_rows(self.matrix, qi) for qi in qidxs]
-            qlens = [len(q) for q in qs]
-        return prows, qidxs, ridx_list, qlens, shared
+            return dispatch.pack_pairs(
+                self.matrix, None, references, profile=self.profile,
+                Qp=Qp, Rp=Rp)
+        return dispatch.pack_pairs(self.matrix, queries, references,
+                                   Qp=Qp, Rp=Rp)
 
-    def _run(self, prows, qidxs, ridx_list, qlens, Qp=None, Rp=None,
-             shared=False):
-        batch = dispatch.build_batch(prows, qidxs, ridx_list, Qp=Qp, Rp=Rp,
-                                     shared_query=shared)
+    def _run_packed(self, batch, qlens, rlens):
         out = dispatch.execute(
             batch,
             gap_open=self.gap_open, gap_extend=self.gap_extend,
@@ -286,8 +273,8 @@ class Aligner:
             outputs=self.key.outputs, width=self.key.width,
         )
         return [
-            self._make_alignment(out, b, qlens[b], len(ridx_list[b]))
-            for b in range(len(ridx_list))
+            self._make_alignment(out, b, qlens[b], rlens[b])
+            for b in range(len(rlens))
         ]
 
     def align_batch(self, queries, references) -> list[Alignment]:
@@ -299,9 +286,7 @@ class Aligner:
         whole batch (one padded shape); for mixed-length workloads use
         :meth:`align_many`, which length-bins first.
         """
-        prows, qidxs, ridx_list, qlens, shared = self._prepare(
-            queries, references)
-        return self._run(prows, qidxs, ridx_list, qlens, shared=shared)
+        return self._run_packed(*self._pack(queries, references))
 
     def align_many(self, queries, references,
                    max_cells: int = 1 << 28) -> list[Alignment]:
@@ -313,18 +298,24 @@ class Aligner:
         """
         from ..batch import plan_bins
 
-        prows, qidxs, ridx_list, qlens, shared = self._prepare(
-            queries, references)
-        rlens = [len(r) for r in ridx_list]
+        refs = list(references)
+        if queries is None:
+            if self.profile.is_null:
+                raise QueryRequired(
+                    "Query sequence is required for alignment without a profile.")
+            qlens = [self.profile.query_len] * len(refs)
+            qsel = lambda idx: None
+        else:
+            queries = list(queries)
+            qlens = [len(q) for q in queries]
+            qsel = lambda idx: [queries[i] for i in idx]
+        rlens = [len(r) for r in refs]
         bins = plan_bins(qlens, rlens, max_cells=max_cells)
-        results: list[Alignment | None] = [None] * len(ridx_list)
+        results: list[Alignment | None] = [None] * len(refs)
         for bin_ in bins:
             idx = bin_.indices
-            sub = self._run(
-                [prows[i] for i in idx], [qidxs[i] for i in idx],
-                [ridx_list[i] for i in idx], [qlens[i] for i in idx],
-                Qp=bin_.qp, Rp=bin_.rp, shared=shared,
-            )
+            sub = self._run_packed(*self._pack(
+                qsel(idx), [refs[i] for i in idx], Qp=bin_.qp, Rp=bin_.rp))
             for i, aln in zip(idx, sub):
                 results[i] = aln
         return results
@@ -348,25 +339,23 @@ class Aligner:
                 "banded_nw() requires .bandwidth() on the builder")
         from ..ops.wavefront import wavefront_align
 
-        prows, qidxs, ridx_list, qlens, shared = self._prepare(
-            queries, references)
-        batch = dispatch.build_batch(prows, qidxs, ridx_list,
-                                     shared_query=shared)
+        batch, qlens, rlens = self._pack(queries, references)
         out = wavefront_align(
-            batch.profile, batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+            dispatch._device_profile(batch.profile, batch.table, batch.qidx),
+            batch.qidx, batch.ridx, batch.qlen, batch.rlen,
             open_=np.int32(self.gap_open), ext=np.int32(self.gap_extend),
             mode="nw", free=(False,) * 4, outputs="score", width="32",
             banded=True, bandwidth=np.int32(self.bandwidth),
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         results = []
-        for b in range(len(ridx_list)):
-            fields = dispatch.slice_pair(out, b, qlens[b], len(ridx_list[b]))
+        for b in range(len(rlens)):
+            fields = dispatch.slice_pair(out, b, qlens[b], rlens[b])
             flags = self._flags(False, banded=True)
             flags.update({"nw": True, "sg": False, "sw": False})
             results.append(Alignment(
                 fields=fields, flags=flags,
-                query_len=qlens[b], ref_len=len(ridx_list[b]),
+                query_len=qlens[b], ref_len=rlens[b],
                 matrix=self.matrix, free=(False,) * 4, mode="nw",
             ))
         return results

@@ -397,21 +397,21 @@ def test_profile_mode_shares_query_tensors():
     m = Matrix.from_name("blosum62")
     profile = Profile.new(b"HEAGAWGHEE", True, m)
     seen = {}
-    orig = disp.build_batch
+    orig = disp.pack_pairs
 
     def spy(*args, **kwargs):
-        batch = orig(*args, **kwargs)
+        batch, qlens, rlens = orig(*args, **kwargs)
         seen["profile_shape"] = batch.profile.shape
-        return batch
+        return batch, qlens, rlens
 
-    disp_build, disp.build_batch = disp.build_batch, spy
+    disp_pack, disp.pack_pairs = disp.pack_pairs, spy
     try:
         aligner = (Aligner.new().profile(profile).use_stats()
                    .gap_open(11).gap_extend(1).local().build())
         refs = [b"PAWHEAE", b"AWGHEE", b"HEAGAWGHEE", b"GGGGG"]
         results = aligner.align_batch(None, refs)
     finally:
-        disp.build_batch = disp_build
+        disp.pack_pairs = disp_pack
     assert seen["profile_shape"][0] == 1  # shared, not per-pair
     for r, res in zip(refs, results):
         g = golden.align_seqs(b"HEAGAWGHEE", r, m, 11, 1, "sw")
