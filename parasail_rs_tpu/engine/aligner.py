@@ -340,13 +340,22 @@ class Aligner:
         from ..ops.wavefront import wavefront_align
 
         batch, qlens, rlens = self._pack(queries, references)
-        out = wavefront_align(
-            dispatch._device_profile(batch.profile, batch.table, batch.qidx),
-            batch.qidx, batch.ridx, batch.qlen, batch.rlen,
-            open_=np.int32(self.gap_open), ext=np.int32(self.gap_extend),
-            mode="nw", free=(False,) * 4, outputs="score", width="32",
-            banded=True, bandwidth=np.int32(self.bandwidth),
-        )
+        if dispatch._use_pallas(batch, "score", self.gap_open,
+                                self.gap_extend):
+            out = dispatch._execute_pallas_or_fallback(
+                batch, gap_open=self.gap_open, gap_extend=self.gap_extend,
+                mode="nw", free=(False,) * 4, width="32", outputs="score",
+                banded=True, bandwidth=self.bandwidth,
+            )
+        else:
+            out = wavefront_align(
+                dispatch._device_profile(
+                    batch.profile, batch.table, batch.qidx),
+                batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+                open_=np.int32(self.gap_open), ext=np.int32(self.gap_extend),
+                mode="nw", free=(False,) * 4, outputs="score", width="32",
+                banded=True, bandwidth=np.int32(self.bandwidth),
+            )
         out = {k: np.asarray(v) for k, v in out.items()}
         results = []
         for b in range(len(rlens)):

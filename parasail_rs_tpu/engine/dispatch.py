@@ -262,7 +262,7 @@ def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
 
 
 def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
-                    outputs="score"):
+                    outputs="score", banded=False, bandwidth=0):
     from ..ops.scan_kernel import LANES, scan_score_align
     import jax
 
@@ -288,6 +288,7 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
         qidx if outputs in ("stats", "stats_table", "stats_rowcol") else None,
         open_=np.int32(gap_open), ext=np.int32(gap_extend),
         mode=mode, free=free, width=width, outputs=outputs,
+        banded=banded, bandwidth=np.int32(bandwidth or 0),
         interpret=jax.default_backend() != "tpu",
     )
     return {k: np.asarray(v)[:B] for k, v in out.items()}
@@ -310,7 +311,8 @@ def _execute_pallas_or_fallback(batch, **kw):
             batch.qidx, batch.ridx, batch.qlen, batch.rlen,
             open_=np.int32(kw["gap_open"]), ext=np.int32(kw["gap_extend"]),
             mode=kw["mode"], free=kw["free"], outputs=kw["outputs"],
-            width=kw["width"],
+            width=kw["width"], banded=kw.get("banded", False),
+            bandwidth=np.int32(kw.get("bandwidth") or 0),
         )
         return {k: np.asarray(v) for k, v in out.items()}
 

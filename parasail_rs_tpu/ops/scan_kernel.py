@@ -159,7 +159,7 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
 
 def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                  want_trace=False, want_stats=False,
-                 want_table=False, want_rowcol=False):
+                 want_table=False, want_rowcol=False, banded=False):
     """Build the column-sweep kernel body (all config static)."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
@@ -195,6 +195,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
 
         open_ = gaps_ref[0]
         ext = gaps_ref[1]
+        bw = gaps_ref[2]
         tq = pl.program_id(1)
         jblk = pl.program_id(2)
         r0 = tq * Qc
@@ -205,16 +206,21 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         imask = ig < qlen
 
         def top_b(c):
-            # bordered H[0][c]
-            if qb or local:
-                return jnp.int32(0)
-            return jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32)
+            # bordered H[0][c]; under banding, boundary cells beyond the
+            # band (|0 - c| > bw on the bordered grid) are unreachable
+            base = (jnp.zeros_like(jnp.asarray(c), I32) if (qb or local) else
+                    jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32))
+            if banded:
+                base = jnp.where(jnp.asarray(c) <= bw, base, neg)
+            return base
 
         def left_b(c):
             # bordered H[c][0]
-            if db or local:
-                return jnp.zeros_like(jnp.asarray(c), I32)
-            return jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32)
+            base = (jnp.zeros_like(jnp.asarray(c), I32) if (db or local) else
+                    jnp.where(c > 0, -(open_ + (c - 1) * ext), 0).astype(I32))
+            if banded:
+                base = jnp.where(jnp.asarray(c) <= bw, base, neg)
+            return base
 
         @pl.when((tq == 0) & (jblk == 0))
         def _init_acc():
@@ -259,6 +265,10 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             htemp = jnp.maximum(diag, F)
             if local:
                 htemp = jnp.maximum(htemp, 0)
+            if banded:
+                in_band = jnp.abs(ig - j) <= bw
+                htemp = jnp.where(in_band, htemp, neg)
+                F = jnp.where(in_band, F, neg)
 
             # Cell directly above the chunk: H[r0-1, j] — boundary row for
             # the top chunk, the previous chunk's last row otherwise.
@@ -357,6 +367,8 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     hflag = jnp.where(pre <= 0, 0, hflag)
                 trace_ref[0, jj, :, :] = (hflag | eflag | fflag).astype(jnp.int8)
 
+            if banded:
+                H = jnp.where(in_band, H, neg)
             hprev[:] = H
             fprev[:] = F
             htop_scr[0:1, :] = toph
@@ -464,7 +476,8 @@ def build_scol(profile, ridx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "free", "width", "outputs", "interpret"),
+    static_argnames=("mode", "free", "width", "outputs", "banded",
+                     "interpret"),
 )
 def scan_score_align(
     profile,       # (B or 1, Qp, A) int32
@@ -479,6 +492,8 @@ def scan_score_align(
     free: tuple[bool, bool, bool, bool],
     width: str = "32",
     outputs: str = "score",
+    banded: bool = False,
+    bandwidth=0,
     interpret: bool = False,
 ):
     """Pallas alignment kernel; same output contract as
@@ -508,11 +523,13 @@ def scan_score_align(
     scol = scol.reshape(nb, LANES, Rp, Qp).transpose(0, 2, 3, 1)
     qlen_b = qlen.reshape(nb, 1, LANES)
     rlen_b = rlen.reshape(nb, 1, LANES)
-    gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32)])
+    gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32),
+                      jnp.asarray(bandwidth, I32)])
 
     kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rp, Qp,
                           want_trace=want_trace, want_stats=want_stats,
-                          want_table=want_table, want_rowcol=want_rowcol)
+                          want_table=want_table, want_rowcol=want_rowcol,
+                          banded=banded)
 
     inputs = [gaps, qlen_b, rlen_b, scol]
     in_specs = [

@@ -241,3 +241,38 @@ def test_scan_chunked_query_vs_golden():
         assert int(out["end_query"][i]) == g.end_query
         tt = np.asarray(out["trace_table"])[i, :len(q), :len(r)]
         np.testing.assert_array_equal(tt, g.trace_table, err_msg=str(i))
+
+
+def test_scan_banded_matches_wavefront():
+    b = BATCH
+    for bw in (2, 7, 50):
+        ref = wavefront_align(
+            b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+            open_=np.int32(5), ext=np.int32(1), mode="nw",
+            free=(False,) * 4, outputs="score", width="32",
+            banded=True, bandwidth=np.int32(bw))
+        got = scan_score_align(
+            b.profile, b.ridx, b.qlen, b.rlen,
+            open_=np.int32(5), ext=np.int32(1), mode="nw",
+            free=(False,) * 4, width="32",
+            banded=True, bandwidth=np.int32(bw), interpret=INTERPRET)
+        np.testing.assert_array_equal(
+            np.asarray(got["score"]), np.asarray(ref["score"]),
+            err_msg=f"bw={bw}")
+
+
+def test_engine_banded_pallas_route(monkeypatch):
+    rng = np.random.default_rng(23)
+    from parasail_rs_tpu.engine import Aligner
+
+    m = Matrix.create(b"ACGT", 2, -3)
+    qs = [rng.choice(list(b"ACGT"), size=20).astype("uint8").tobytes()
+          for _ in range(4)]
+    rs = [rng.choice(list(b"ACGT"), size=22).astype("uint8").tobytes()
+          for _ in range(4)]
+    aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1)
+               .bandwidth(6).build())
+    base = [a.get_score() for a in aligner.banded_nw_batch(qs, rs)]
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    via = [a.get_score() for a in aligner.banded_nw_batch(qs, rs)]
+    assert via == base
