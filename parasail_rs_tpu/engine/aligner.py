@@ -20,11 +20,11 @@ import logging
 import numpy as np
 
 from ..errors import InteriorNulByte, NoBandwidth, QueryRequired
-from ..golden.model import free_flags, walk_trace
+from ..golden.model import free_flags
 from ..matrices import Matrix
 from ..ops.specs import KernelKey
 from . import dispatch
-from .profile import Profile, profile_rows
+from .profile import Profile
 from .result import Alignment, SSWResult
 
 log = logging.getLogger("parasail_rs_tpu")
@@ -286,6 +286,11 @@ class Aligner:
         whole batch (one padded shape); for mixed-length workloads use
         :meth:`align_many`, which length-bins first.
         """
+        if not self.profile.is_null:
+            # parity: with a profile set the reference dispatches the
+            # profile function and ignores any passed query
+            # (src/aligner/mod.rs:431-449)
+            queries = None
         return self._run_packed(*self._pack(queries, references))
 
     def align_many(self, queries, references,
@@ -299,6 +304,8 @@ class Aligner:
         from ..batch import plan_bins
 
         refs = list(references)
+        if not self.profile.is_null:
+            queries = None  # parity: profile takes precedence (see align_batch)
         if queries is None:
             if self.profile.is_null:
                 raise QueryRequired(
