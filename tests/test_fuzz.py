@@ -1,0 +1,79 @@
+"""Randomized engine-level fuzzing vs the golden oracle.
+
+Sweeps gap-penalty regimes that exercise different dispatch routes —
+open > ext (Pallas-eligible), open == ext (stats must fall back),
+open < ext (everything falls back to the wavefront) — plus degenerate
+lengths, all through the public API.
+"""
+
+import numpy as np
+import pytest
+
+from parasail_rs_tpu.engine import Aligner
+from parasail_rs_tpu.golden import model as golden
+from parasail_rs_tpu.matrices import Matrix
+
+
+MODES = [("global_", "nw"), ("semi_global", "sg"), ("local", "sw")]
+
+
+@pytest.mark.parametrize("open_,ext", [(11, 1), (4, 4), (1, 3), (0, 0)])
+def test_fuzz_scores_and_stats(open_, ext):
+    rng = np.random.default_rng(open_ * 31 + ext)
+    m = Matrix.create(b"ACGT", 3, -2)
+    qs, rs = [], []
+    for _ in range(24):
+        qs.append(rng.choice(list(b"ACGT"),
+                             size=rng.integers(1, 50)).astype("uint8").tobytes())
+        rs.append(rng.choice(list(b"ACGT"),
+                             size=rng.integers(1, 50)).astype("uint8").tobytes())
+    for setter, mode in MODES:
+        builder = (Aligner.new().matrix(m).gap_open(open_).gap_extend(ext)
+                   .use_stats())
+        getattr(builder, setter)()
+        aligner = builder.build()
+        for q, r, res in zip(qs, rs, aligner.align_batch(qs, rs)):
+            g = golden.align_seqs(q, r, m, open_, ext, mode)
+            assert res.get_score() == g.score, (mode, open_, ext, q, r)
+            assert res.get_end_query() == g.end_query, (mode, q, r)
+            assert res.get_end_ref() == g.end_ref, (mode, q, r)
+            assert res.get_matches() == g.matches, (mode, q, r)
+            assert res.get_similar() == g.similar, (mode, q, r)
+            assert res.get_length() == g.length, (mode, q, r)
+
+
+def test_fuzz_cigars_roundtrip():
+    # CIGAR consumption must reconstruct the end coordinates exactly.
+    rng = np.random.default_rng(77)
+    m = Matrix.from_name("blosum62")
+    aligner = (Aligner.new().matrix(m).gap_open(10).gap_extend(2)
+               .semi_global().use_trace().build())
+    alpha = list(b"ARNDCQEGHILKMFPSTWYV")
+    for _ in range(20):
+        q = rng.choice(alpha, size=rng.integers(2, 40)).astype("uint8").tobytes()
+        r = rng.choice(alpha, size=rng.integers(2, 40)).astype("uint8").tobytes()
+        res = aligner.align(q, r)
+        walk = res._walk(q, r)
+        qi, ri = walk.beg_query, walk.beg_ref
+        for n, op in walk.ops:
+            if op in ("=", "X"):
+                qi += n
+                ri += n
+            elif op == "I":
+                qi += n
+            else:
+                ri += n
+        assert qi - 1 == res.get_end_query(), (q, r)
+        assert ri - 1 == res.get_end_ref(), (q, r)
+        g = golden.align_seqs(q, r, m, 10, 2, "sg")
+        gw = golden.walk_trace(g.trace_table, q, r, g.end_query, g.end_ref, "sg")
+        assert res.get_cigar(q, r) == gw.cigar_string(), (q, r)
+
+
+def test_single_char_and_empty_edge_cases():
+    aligner = Aligner.new().local().gap_open(1).gap_extend(1).build()
+    res = aligner.align(b"A", b"A")
+    assert res.get_score() == 1
+    res = aligner.align(b"A", b"C")
+    assert res.get_score() == 0  # empty local alignment
+    assert res.get_end_query() == 0 and res.get_end_ref() == 0
