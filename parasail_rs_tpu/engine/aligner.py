@@ -386,14 +386,24 @@ class Aligner:
         src/aligner/mod.rs:512-526); here it works when a profile is set
         and ``query=None``.
         """
-        if query is None:
+        return self.ssw_batch(
+            None if query is None else [query], [reference])[0]
+
+    def ssw_batch(self, queries, references) -> list[SSWResult]:
+        """Batched SSW (TPU-native extra): one trace-kernel launch + one
+        batched native CIGAR walk for the whole set."""
+        from ..constants import cigar_encode
+        from ..golden.model import walk_trace
+        from ..native import walker
+
+        refs = [_as_bytes(r) for r in references]
+        if queries is None:
             if self.profile.is_null:
                 raise QueryRequired(
                     "Query sequence is required for SSW alignment for now.")
-            q = self.profile.query
+            qs = [self.profile.query] * len(refs)
         else:
-            q = _as_bytes(query)
-        r = _as_bytes(reference)
+            qs = [_as_bytes(q) for q in queries]
         sw = Aligner(
             key=KernelKey(mode="sw", free=(True,) * 4, outputs="trace",
                           strategy="striped", profile=False, width="sat"),
@@ -401,25 +411,39 @@ class Aligner:
             gap_extend=self.gap_extend, profile=Profile.default(),
             bandwidth=None,
         )
-        aln = sw.align(q, r)
-        walk = aln._walk(q, r)  # native C++ walker when available
-        # SSW CIGARs use M (not =/X); merge and pack (length << 4 | op).
-        from ..constants import cigar_encode
-        packed: list[int] = []
-        for n, op in walk.ops:
-            op = "M" if op in ("=", "X") else op
-            if packed and (packed[-1] & 0xF) == "MIDNSHP=XB".index(op):
-                packed[-1] += n << 4
-            else:
-                packed.append(cigar_encode(n, op))
-        return SSWResult(
-            score1=min(aln.get_score(), 0xFFFF),
-            ref_begin1=walk.beg_ref,
-            ref_end1=aln.get_end_ref(),
-            read_begin1=walk.beg_query,
-            read_end1=aln.get_end_query(),
-            _cigar=np.asarray(packed, dtype=np.uint32),
-        )
+        alns = sw.align_batch(qs, refs)
+        traces = [a.fields["trace_table"] for a in alns]
+        end_qs = [a.get_end_query() for a in alns]
+        end_rs = [a.get_end_ref() for a in alns]
+        walked = walker.walk_batch(
+            traces, qs, refs, end_qs, end_rs,
+            local=True, qb=True, db=True, merge_m=True)
+        results = []
+        for k, aln in enumerate(alns):
+            if walked is not None:
+                packed, bq, br = walked[k]
+                packed = np.asarray(packed, dtype=np.uint32)
+            else:  # Python fallback: golden walk + M-merge + pack
+                w = walk_trace(traces[k], qs[k], refs[k],
+                               end_qs[k], end_rs[k], "sw")
+                bq, br = w.beg_query, w.beg_ref
+                runs: list[int] = []
+                for n, op in w.ops:
+                    op = "M" if op in ("=", "X") else op
+                    if runs and (runs[-1] & 0xF) == "MIDNSHP=XB".index(op):
+                        runs[-1] += n << 4
+                    else:
+                        runs.append(cigar_encode(n, op))
+                packed = np.asarray(runs, dtype=np.uint32)
+            results.append(SSWResult(
+                score1=min(aln.get_score(), 0xFFFF),
+                ref_begin1=br,
+                ref_end1=end_rs[k],
+                read_begin1=bq,
+                read_end1=end_qs[k],
+                _cigar=packed,
+            ))
+        return results
 
 
 def _banded_nw_fill(sub: np.ndarray, open_: int, ext: int, bw: int) -> int:

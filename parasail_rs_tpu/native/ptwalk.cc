@@ -152,6 +152,7 @@ void pt_walk_batch(int n,
                    uint32_t* cigar_out, int cigar_cap,
                    int32_t* lens_out,
                    int32_t* beg_qs_out, int32_t* beg_rs_out) {
+#pragma omp parallel for schedule(dynamic, 16)
   for (int k = 0; k < n; ++k) {
     int bq = 0, br = 0;
     lens_out[k] = pt_walk_trace(

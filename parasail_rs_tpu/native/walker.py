@@ -30,12 +30,15 @@ _tried = False
 
 def _build() -> str | None:
     cxx = os.environ.get("CXX", "g++")
-    cmd = [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB_PATH
-    except Exception:
-        return None
+    base = [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
+    for extra in (["-fopenmp"], []):   # threads when available
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True,
+                           timeout=120)
+            return _LIB_PATH
+        except Exception:
+            continue
+    return None
 
 
 def _load():

@@ -417,3 +417,23 @@ def test_profile_mode_shares_query_tensors():
         g = golden.align_seqs(b"HEAGAWGHEE", r, m, 11, 1, "sw")
         assert res.get_score() == g.score
         assert res.get_matches() == g.matches
+
+
+def test_ssw_batch():
+    rng = np.random.default_rng(31)
+    m = Matrix.from_name("blosum62")
+    aligner = Aligner.new().matrix(m).gap_open(11).gap_extend(1).build()
+    alpha = list(b"ARNDCQEGHILKMFPSTWYV")
+    qs = [rng.choice(alpha, size=rng.integers(5, 30)).astype("uint8").tobytes()
+          for _ in range(12)]
+    rs = [rng.choice(alpha, size=rng.integers(5, 30)).astype("uint8").tobytes()
+          for _ in range(12)]
+    batch = aligner.ssw_batch(qs, rs)
+    for q, r, res in zip(qs, rs, batch):
+        one = aligner.ssw(q, r)
+        assert res.score() == one.score()
+        assert res.cigar_string() == one.cigar_string()
+        assert (res.query_start(), res.ref_start()) == \
+            (one.query_start(), one.ref_start())
+        g = golden.align_seqs(q, r, m, 11, 1, "sw")
+        assert res.score() == min(g.score, 0xFFFF)
