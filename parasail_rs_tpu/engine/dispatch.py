@@ -209,20 +209,23 @@ def execute(
     and matrices far outside parasail's own operating range; the knob is
     accepted and reported for parity).
     """
+    from ..utils import profiling
+
     kernel_width = {"64": "32"}.get(width, width)
-    if _use_pallas(batch, outputs, gap_open, gap_extend):
-        out = _execute_pallas_or_fallback(
-            batch, gap_open=gap_open, gap_extend=gap_extend,
-            mode=mode, free=free, width=kernel_width, outputs=outputs,
-        )
-    else:
-        out = wavefront_align(
-            _device_profile(batch.profile, batch.table, batch.qidx),
-            batch.qidx, batch.ridx, batch.qlen, batch.rlen,
-            open_=np.int32(gap_open), ext=np.int32(gap_extend),
-            mode=mode, free=free, outputs=outputs, width=kernel_width,
-        )
-    return {k: np.asarray(v) for k, v in out.items()}
+    with profiling.trace_region(f"pt.execute.{mode}.{outputs}"):
+        if _use_pallas(batch, outputs, gap_open, gap_extend):
+            out = _execute_pallas_or_fallback(
+                batch, gap_open=gap_open, gap_extend=gap_extend,
+                mode=mode, free=free, width=kernel_width, outputs=outputs,
+            )
+        else:
+            out = wavefront_align(
+                _device_profile(batch.profile, batch.table, batch.qidx),
+                batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+                open_=np.int32(gap_open), ext=np.int32(gap_extend),
+                mode=mode, free=free, outputs=outputs, width=kernel_width,
+            )
+        return {k: np.asarray(v) for k, v in out.items()}
 
 
 def _device_profile(profile, table, qidx):
