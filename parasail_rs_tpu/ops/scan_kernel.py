@@ -147,12 +147,12 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
     s = 1
     n = a.shape[0]
     while s < n:
-        ok = ii >= s
-        xs = jnp.where(ok, jnp.roll(x, s, axis=0), neg)
+        xs = jnp.where(ii >= s, jnp.roll(x, s, axis=0), neg)
         take = xs > x
         x = jnp.where(take, xs, x)
-        ps = [jnp.where(take, jnp.where(ok, jnp.roll(p, s, axis=0), 0), p)
-              for p in ps]
+        # take is only true where the shift was in-range, so the payload
+        # shift needs no range mask of its own
+        ps = [jnp.where(take, jnp.roll(p, s, axis=0), p) for p in ps]
         s *= 2
     return x, ps
 
