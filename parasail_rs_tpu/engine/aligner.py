@@ -286,6 +286,8 @@ class Aligner:
         whole batch (one padded shape); for mixed-length workloads use
         :meth:`align_many`, which length-bins first.
         """
+        if len(references) == 0:
+            return []
         if not self.profile.is_null:
             # parity: with a profile set the reference dispatches the
             # profile function and ignores any passed query
@@ -304,6 +306,8 @@ class Aligner:
         from ..batch import plan_bins
 
         refs = list(references)
+        if not refs:
+            return []
         if not self.profile.is_null:
             queries = None  # parity: profile takes precedence (see align_batch)
         if queries is None:
