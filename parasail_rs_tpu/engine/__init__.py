@@ -8,12 +8,14 @@ call, and results are host numpy views instead of raw-pointer facades.
 """
 
 from .aligner import Aligner, AlignerBuilder
+from .stream import StreamingAligner
 from .profile import Profile, ProfileBuilder
 from .result import Alignment, SSWResult, Table, Traceback, TracebackTable
 
 __all__ = [
     "Aligner",
     "AlignerBuilder",
+    "StreamingAligner",
     "Alignment",
     "Profile",
     "ProfileBuilder",

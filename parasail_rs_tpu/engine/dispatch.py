@@ -201,6 +201,7 @@ def execute(
     free: tuple[bool, bool, bool, bool],
     outputs: str,
     width: str,
+    fetch: bool = True,
 ) -> dict[str, np.ndarray]:
     """Run the wavefront kernel over a batch; fetch host numpy results.
 
@@ -225,6 +226,10 @@ def execute(
                 open_=np.int32(gap_open), ext=np.int32(gap_extend),
                 mode=mode, free=free, outputs=outputs, width=kernel_width,
             )
+        if not fetch:
+            # async mode: leave results on device (jax dispatch has already
+            # been enqueued); the caller fetches when it needs values
+            return dict(out)
         return {k: np.asarray(v) for k, v in out.items()}
 
 

@@ -437,3 +437,34 @@ def test_ssw_batch():
             (one.query_start(), one.ref_start())
         g = golden.align_seqs(q, r, m, 11, 1, "sw")
         assert res.score() == min(g.score, 0xFFFF)
+
+
+def test_streaming_aligner():
+    from parasail_rs_tpu.engine.stream import StreamingAligner
+
+    rng = np.random.default_rng(41)
+    m = Matrix.create(b"ACGT", 2, -3)
+    aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1).local()
+               .use_stats().build())
+    pairs = []
+    for _ in range(57):
+        pairs.append((
+            rng.choice(list(b"ACGT"),
+                       size=rng.integers(3, 120)).astype("uint8").tobytes(),
+            rng.choice(list(b"ACGT"),
+                       size=rng.integers(3, 120)).astype("uint8").tobytes()))
+    stream = StreamingAligner(aligner, flush_size=16)
+    handles = [stream.submit(q, r) for q, r in pairs]
+    stream.flush()
+    for (q, r), h in zip(pairs, handles):
+        assert h.done()
+        res = h.result()
+        one = aligner.align(q, r)
+        assert res.get_score() == one.get_score(), (q, r)
+        assert res.get_matches() == one.get_matches()
+
+    # result() on a pending handle flushes implicitly
+    stream2 = StreamingAligner(aligner, flush_size=1000)
+    h = stream2.submit(b"ACGT", b"ACGT")
+    assert not h.done()
+    assert h.result().get_score() == aligner.align(b"ACGT", b"ACGT").get_score()
