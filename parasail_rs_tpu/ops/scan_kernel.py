@@ -37,9 +37,10 @@ matmul on the MXU — S[b, j, i] = onehot(ridx)[b, j, :] @ profile[b, i, :]
 consumes: the kernel contains no gathers at all.
 
 Output-class coverage: score / stats / table / stats_table / rowcol /
-stats_rowcol / trace — the full parasail output matrix; stats and rowcol
-classes are limited to un-chunked queries (their state planes don't fit
-VMEM beyond that; ``scan_fits`` reports routability).
+stats_rowcol / trace — the full parasail output matrix.  Chunking covers
+score/stats/trace/table (stats carries six extra down planes: last-row
+accumulators and prefix payloads); rowcol classes are limited to
+un-chunked queries (``scan_fits`` reports routability).
 """
 
 from __future__ import annotations
@@ -86,15 +87,18 @@ def _plan(Qp, Rp, outputs):
     nplanes = 4 if want_stats else 1
     if Qp <= 2 * Q_CHUNK:
         Qc = Qp
-    elif want_stats or want_rowcol:
-        return None              # chunking would need stats down-planes
+    elif want_rowcol:
+        return None              # rowcol accumulators are not chunked yet
     else:
-        Qc = Q_CHUNK
+        # stats chunks smaller: its state/payload planes are 4x a score
+        # sweep's
+        Qc = 512 if want_stats else Q_CHUNK
         if Qp % Qc:
             return None
     nq = Qp // Qc
     Rpad = (Rp + 7) // 8 * 8
-    ndown = 0 if nq == 1 else (3 if want_trace else 2)
+    ndown = 0 if nq == 1 else (
+        3 if want_trace else (8 if want_stats else 2))
     nstate = 2 + (6 if want_stats else 0) + (nplanes if want_rowcol else 0)
     # ~live column-loop temporaries (H/E/F/htemp/prefix slabs), measured
     # against Mosaic's scoped-stack accounting
@@ -107,6 +111,10 @@ def _plan(Qp, Rp, outputs):
     if budget < per_col:
         return None
     Jt = max(1, min(COL_TILE, Rp, budget // per_col))
+    if Jt != Rp:
+        # ridx/row blocks use Jt as their sublane dim: must divide by 8
+        # (Mosaic tiling) unless it spans the whole array
+        Jt = min(Rp, max(8, Jt // 8 * 8))
     return Qc, nq, Jt, pl.cdiv(Rp, Jt)
 
 
@@ -191,6 +199,9 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         if chunked:
             dH, dPM = refs.pop(0), refs.pop(0)
             dE = refs.pop(0) if want_trace else None
+            if want_stats:
+                dHm, dHs, dHl = refs.pop(0), refs.pop(0), refs.pop(0)
+                dPMm, dPMs, dPMl = refs.pop(0), refs.pop(0), refs.pop(0)
         acc = refs.pop(0)
 
         open_ = gaps_ref[0]
@@ -237,8 +248,14 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             hprev[:] = left_b(ig + 1) * jnp.ones((Qc, LANES), I32)
             fprev[:] = jnp.full((Qc, LANES), neg)
             # H[r0-1, -1 bordered] = bordered (r0, 0): the first column's
-            # row-0 diagonal predecessor.
+            # row-0 diagonal predecessor (value row 0; stats rows 1-3 when
+            # stats are on: m = s = 0, l = bordered left length).
             htop_scr[0:1, :] = jnp.full((1, LANES), 1, I32) * left_b(r0)
+            if want_stats:
+                left_l = jnp.int32(0) if (db or local) else r0
+                htop_scr[1:2, :] = jnp.zeros((1, LANES), I32)
+                htop_scr[2:3, :] = jnp.zeros((1, LANES), I32)
+                htop_scr[3:4, :] = jnp.full((1, LANES), 1, I32) * left_l
             if want_stats:
                 hm[:] = jnp.zeros((Qc, LANES), I32)
                 hs[:] = jnp.zeros((Qc, LANES), I32)
@@ -297,12 +314,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 ridx_c = ridx_ref[0, pl.ds(jj, 1), :]         # (1, LANES)
                 im = (qidx_c == ridx_c).astype(I32)
                 hm_p, hs_p, hl_p = hm[:], hs[:], hl[:]
-                # diagonal-predecessor stats (boundary row: m=s=0,
-                # l = bordered column index j, 0 when free)
-                top_l = jnp.int32(0) if (qb or local) else j
-                m_d = jnp.where(ii == 0, 0, jnp.roll(hm_p, 1, axis=0))
-                s_d = jnp.where(ii == 0, 0, jnp.roll(hs_p, 1, axis=0))
-                l_d = jnp.where(ii == 0, top_l, jnp.roll(hl_p, 1, axis=0))
+                # diagonal-predecessor stats at the chunk's top row come
+                # from the column carry (boundary values for the top
+                # chunk, the previous chunk's last row otherwise)
+                m_d = jnp.where(ii == 0, htop_scr[1:2, :],
+                                jnp.roll(hm_p, 1, axis=0))
+                s_d = jnp.where(ii == 0, htop_scr[2:3, :],
+                                jnp.roll(hs_p, 1, axis=0))
+                l_d = jnp.where(ii == 0, htop_scr[3:4, :],
+                                jnp.roll(hl_p, 1, axis=0))
                 Dm = m_d + im
                 Ds = s_d + (s > 0).astype(I32)
                 Dl = l_d + 1
@@ -320,9 +340,17 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     Ts = jnp.where(zt, 0, Ts)
                     Tlm = jnp.where(zt, -ig, Tlm)
                 seed_l = (jnp.int32(0) if (qb or local) else j + 1) + 1
+                if chunked:
+                    z1 = jnp.zeros((1, LANES), I32)
+                    sm = jnp.where(tq == 0, z1, dPMm[pl.ds(j, 1), :])
+                    ss_ = jnp.where(tq == 0, z1, dPMs[pl.ds(j, 1), :])
+                    sl = jnp.where(tq == 0, seed_l + z1,
+                                   dPMl[pl.ds(j, 1), :])
+                    seeds = (sm, ss_, sl)
+                else:
+                    seeds = (jnp.int32(0), jnp.int32(0), seed_l)
                 pm, (Em, Es, Elm) = _prefix_argmax_exclusive(
-                    a, (Tm, Ts, Tlm), ii, seed,
-                    (jnp.int32(0), jnp.int32(0), seed_l))
+                    a, (Tm, Ts, Tlm), ii, seed, seeds)
                 E = pm - ext * (ig - 1)
                 El = Elm + ig
             else:
@@ -372,10 +400,45 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             hprev[:] = H
             fprev[:] = F
             htop_scr[0:1, :] = toph
+            if want_stats:
+                # stats of the cell above at column j, carried for the
+                # next column's diagonal
+                ones1 = jnp.ones((1, LANES), I32)
+                top_l1 = (jnp.int32(0) if (qb or local) else j + 1) * ones1
+                if chunked:
+                    htop_scr[1:2, :] = jnp.where(
+                        tq == 0, 0 * ones1, dHm[pl.ds(j, 1), :])
+                    htop_scr[2:3, :] = jnp.where(
+                        tq == 0, 0 * ones1, dHs[pl.ds(j, 1), :])
+                    htop_scr[3:4, :] = jnp.where(
+                        tq == 0, top_l1, dHl[pl.ds(j, 1), :])
+                else:
+                    htop_scr[1:2, :] = 0 * ones1
+                    htop_scr[2:3, :] = 0 * ones1
+                    htop_scr[3:4, :] = top_l1
             if chunked:
                 dH[pl.ds(j, 1), :] = H[Qc - 1:Qc, :]
-                dPM[pl.ds(j, 1), :] = jnp.maximum(
-                    seed, a.max(axis=0, keepdims=True))
+                if want_stats:
+                    # cross-chunk prefix max with payloads: combine the
+                    # exclusive scan at the last row (covers seed + rows
+                    # 0..Qc-2) with the last row itself, preferring the
+                    # larger origin on ties (golden's preference)
+                    lastA = a[Qc - 1:Qc, :]
+                    prev = pm[Qc - 1:Qc, :]
+                    take_last = lastA >= prev
+                    dPM[pl.ds(j, 1), :] = jnp.where(take_last, lastA, prev)
+                    dPMm[pl.ds(j, 1), :] = jnp.where(
+                        take_last, Tm[Qc - 1:Qc, :], Em[Qc - 1:Qc, :])
+                    dPMs[pl.ds(j, 1), :] = jnp.where(
+                        take_last, Ts[Qc - 1:Qc, :], Es[Qc - 1:Qc, :])
+                    dPMl[pl.ds(j, 1), :] = jnp.where(
+                        take_last, Tlm[Qc - 1:Qc, :], Elm[Qc - 1:Qc, :])
+                    dHm[pl.ds(j, 1), :] = Hm[Qc - 1:Qc, :]
+                    dHs[pl.ds(j, 1), :] = Hs[Qc - 1:Qc, :]
+                    dHl[pl.ds(j, 1), :] = Hl[Qc - 1:Qc, :]
+                else:
+                    dPM[pl.ds(j, 1), :] = jnp.maximum(
+                        seed, a.max(axis=0, keepdims=True))
                 if want_trace:
                     dE[pl.ds(j, 1), :] = E[Qc - 1:Qc, :]
 
@@ -590,12 +653,16 @@ def scan_score_align(
         scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
     if want_rowcol:
         scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(nplanes)]
-    scratch.append(pltpu.VMEM((1, LANES), I32))    # htop carry
+    scratch.append(
+        pltpu.VMEM((4 if want_stats else 1, LANES), I32))    # htop carry
     if chunked:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),    # dH
                     pltpu.VMEM((Rpad, LANES), I32)]    # dPM
         if want_trace:
             scratch.append(pltpu.VMEM((Rpad, LANES), I32))  # dE
+        if want_stats:
+            scratch += [pltpu.VMEM((Rpad, LANES), I32)
+                        for _ in range(6)]  # dHm/dHs/dHl + dPM payloads
     scratch.append(pltpu.VMEM((8, LANES), I32))    # acc
 
     res = pl.pallas_call(

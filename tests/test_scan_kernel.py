@@ -217,7 +217,8 @@ def test_scan_chunked_query_vs_golden():
     from parasail_rs_tpu.ops.scan_kernel import scan_fits
 
     assert scan_fits(3072, 96, "score") and scan_fits(3072, 96, "trace")
-    assert not scan_fits(3072, 96, "stats")
+    assert scan_fits(3072, 96, "stats")
+    assert not scan_fits(3072, 96, "rowcol")
     m = Matrix.create(b"ACGT", 2, -3)
     rng = np.random.default_rng(17)
     pairs, prows, qidxs, ridxs = [], [], [], []
@@ -276,3 +277,36 @@ def test_engine_banded_pallas_route(monkeypatch):
     monkeypatch.setenv("PT_FORCE_PALLAS", "1")
     via = [a.get_score() for a in aligner.banded_nw_batch(qs, rs)]
     assert via == base
+
+
+def test_scan_chunked_stats_vs_golden():
+    # stats across query-chunk boundaries: dHm/dHs/dHl diag carries and
+    # dPM payload planes must reproduce golden accumulators exactly
+    from parasail_rs_tpu.golden import model as golden
+
+    m = Matrix.create(b"ACGT", 2, -3)
+    rng = np.random.default_rng(19)
+    pairs, prows, qidxs, ridxs = [], [], [], []
+    for ql, rl in [(3000, 90), (2600, 40), (3072, 96), (5, 5)] + [(40, 40)] * 124:
+        q = rng.choice(list(b"ACGT"), size=ql).astype("uint8").tobytes()
+        r = rng.choice(list(b"ACGT"), size=rl).astype("uint8").tobytes()
+        pairs.append((q, r))
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    b = build_batch(prows, qidxs, ridxs, Qp=3072, Rp=96)
+    for mode, free in [("sw", (True,) * 4), ("nw", (False,) * 4),
+                       ("sg", (True, False, False, True))]:
+        out = scan_score_align(
+            b.profile, b.ridx, b.qlen, b.rlen, b.qidx,
+            open_=np.int32(5), ext=np.int32(1), mode=mode, free=free,
+            width="sat", outputs="stats", interpret=INTERPRET)
+        for i in (0, 1, 2, 3):
+            q, r = pairs[i]
+            g = golden.align_seqs(q, r, m, 5, 1, mode,
+                                  free if mode == "sg" else None)
+            got = (int(out["score"][i]), int(out["matches"][i]),
+                   int(out["similar"][i]), int(out["length"][i]))
+            want = (g.score, g.matches, g.similar, g.length)
+            assert got == want, (mode, i, got, want)
