@@ -37,10 +37,11 @@ matmul on the MXU — S[b, j, i] = onehot(ridx)[b, j, :] @ profile[b, i, :]
 consumes: the kernel contains no gathers at all.
 
 Output-class coverage: score / stats / table / stats_table / rowcol /
-stats_rowcol / trace — the full parasail output matrix.  Chunking covers
-score/stats/trace/table (stats carries six extra down planes: last-row
-accumulators and prefix payloads); rowcol classes are limited to
-un-chunked queries (``scan_fits`` reports routability).
+stats_rowcol / trace — the full parasail output matrix, chunked or not
+(stats carries six extra down planes: last-row accumulators and prefix
+payloads; rowcol row planes gain a chunk axis summed at readout and col
+slices are written per chunk).  ``scan_fits`` reports routability for a
+shape/output combination.
 """
 
 from __future__ import annotations
@@ -87,8 +88,6 @@ def _plan(Qp, Rp, outputs):
     nplanes = 4 if want_stats else 1
     if Qp <= 2 * Q_CHUNK:
         Qc = Qp
-    elif want_rowcol:
-        return None              # rowcol accumulators are not chunked yet
     else:
         # stats chunks smaller: its state/payload planes are 4x a score
         # sweep's
@@ -104,6 +103,7 @@ def _plan(Qp, Rp, outputs):
     # against Mosaic's scoped-stack accounting
     live = 20 if want_stats else 12
     fixed = ((nstate + live) * Qc * LANES * 4 + ndown * Rpad * LANES * 4
+             + (2 * nplanes * Qc * LANES * 4 if want_rowcol else 0)
              + (9 + nplanes) * LANES * 4)
     out_cell = (1 if want_trace else 0) + (4 * nplanes if want_table else 0)
     per_col = Qc * LANES * (1 + out_cell) * 2      # double-buffered
@@ -239,8 +239,6 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             acc[0:1, :] = jnp.full((1, LANES), neg, I32)       # best score
             acc[1:2, :] = jnp.full((1, LANES), I32(qp_total))  # best i
             acc[2:3, :] = jnp.full((1, LANES), BIG, I32)       # best j
-            for cs in col_scratch:
-                cs[:] = jnp.zeros((Qc, LANES), I32)
 
         @pl.when(jblk == 0)
         def _init_chunk():
@@ -265,6 +263,8 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 fm[:] = jnp.zeros((Qc, LANES), I32)
                 fs[:] = jnp.zeros((Qc, LANES), I32)
                 fl[:] = jnp.zeros((Qc, LANES), I32)
+            for cs in col_scratch:
+                cs[:] = jnp.zeros((Qc, LANES), I32)
 
         def col(jj, _):
             j = jblk * Jt + jj
@@ -452,7 +452,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 # matching wavefront_align's zero-initialised row)
                 rowsel = (ig == qlen - 1) & inseq
                 for rref, P in zip(row_refs, planes):
-                    rref[0, pl.ds(jj, 1), :] = jnp.where(rowsel, P, 0).sum(
+                    rref[0, 0, pl.ds(jj, 1), :] = jnp.where(rowsel, P, 0).sum(
                         axis=0, keepdims=True)
                 # last reference column (captured when j == rlen-1)
                 colsel = (j == rlen - 1) & imask
@@ -505,11 +505,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         ncols = jnp.minimum(Jt, rlen_total - jblk * Jt)
         jax.lax.fori_loop(0, ncols, col, 0)
 
+        @pl.when(jblk == nj - 1)
+        def _fini_chunk():
+            # each chunk owns its slice of the last-column output
+            for cref, cs in zip(col_refs, col_scratch):
+                cref[0] = cs[:]
+
         @pl.when((tq == nq - 1) & (jblk == nj - 1))
         def _fini():
             out_ref[0] = acc[:]
-            for cref, cs in zip(col_refs, col_scratch):
-                cref[0] = cs[:]
 
     return kernel
 
@@ -635,14 +639,14 @@ def scan_score_align(
                              memory_space=pltpu.VMEM))
     if want_rowcol:
         for _ in range(nplanes):
-            out_shape.append(jax.ShapeDtypeStruct((nb, Rp, LANES), I32))
+            out_shape.append(jax.ShapeDtypeStruct((nb, nq, Rp, LANES), I32))
             out_specs.append(
-                pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
+                pl.BlockSpec((1, 1, Jt, LANES), lambda b, t, j: (b, t, j, 0),
                              memory_space=pltpu.VMEM))
         for _ in range(nplanes):
             out_shape.append(jax.ShapeDtypeStruct((nb, Qp, LANES), I32))
             out_specs.append(
-                pl.BlockSpec((1, Qp, LANES), lambda b, t, j: (b, 0, 0),
+                pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
                              memory_space=pltpu.VMEM))
 
     scratch = [
@@ -724,7 +728,10 @@ def scan_score_align(
             ri += 1
     if want_rowcol:
         for name in names:
-            out[f"{name}_row"] = res[ri].transpose(0, 2, 1).reshape(B, Rp)
+            # chunk axis: the true last query row lives in exactly one
+            # chunk; every other chunk contributed zeros
+            out[f"{name}_row"] = (
+                res[ri].sum(axis=1).transpose(0, 2, 1).reshape(B, Rp))
             ri += 1
         for name in names:
             out[f"{name}_col"] = res[ri].transpose(0, 2, 1).reshape(B, Qp)

@@ -216,9 +216,8 @@ def test_scan_chunked_query_vs_golden():
     from parasail_rs_tpu.golden import model as golden
     from parasail_rs_tpu.ops.scan_kernel import scan_fits
 
-    assert scan_fits(3072, 96, "score") and scan_fits(3072, 96, "trace")
-    assert scan_fits(3072, 96, "stats")
-    assert not scan_fits(3072, 96, "rowcol")
+    for outputs in ("score", "trace", "stats", "rowcol", "stats_rowcol"):
+        assert scan_fits(3072, 96, outputs), outputs
     m = Matrix.create(b"ACGT", 2, -3)
     rng = np.random.default_rng(17)
     pairs, prows, qidxs, ridxs = [], [], [], []
@@ -310,3 +309,40 @@ def test_scan_chunked_stats_vs_golden():
                    int(out["similar"][i]), int(out["length"][i]))
             want = (g.score, g.matches, g.similar, g.length)
             assert got == want, (mode, i, got, want)
+
+
+@pytest.mark.parametrize("outputs", ["rowcol", "stats_rowcol"])
+def test_scan_chunked_rowcol_vs_wavefront(outputs):
+    # last-row/col outputs across query chunks: per-chunk col slices and
+    # chunk-axis-summed row planes must match the wavefront path exactly
+    m = Matrix.create(b"ACGT", 2, -3)
+    rng = np.random.default_rng(29)
+    prows, qidxs, ridxs = [], [], []
+    for ql, rl in [(3000, 90), (2600, 40), (3072, 96), (5, 5)] + [(40, 40)] * 124:
+        q = rng.choice(list(b"ACGT"), size=ql).astype("uint8").tobytes()
+        r = rng.choice(list(b"ACGT"), size=rl).astype("uint8").tobytes()
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    b = build_batch(prows, qidxs, ridxs, Qp=3072, Rp=96)
+    ref = wavefront_align(
+        b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(5), ext=np.int32(1), mode="sw", free=(True,) * 4,
+        outputs=outputs, width="sat")
+    got = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen, b.qidx,
+        open_=np.int32(5), ext=np.int32(1), mode="sw", free=(True,) * 4,
+        width="sat", outputs=outputs, interpret=INTERPRET)
+    for k in ref:
+        gv, rv = np.asarray(got[k]), np.asarray(ref[k])
+        for i in (0, 1, 2, 3):
+            ql, rl = int(b.qlen[i]), int(b.rlen[i])
+            if k.endswith("_row"):
+                np.testing.assert_array_equal(gv[i, :rl], rv[i, :rl],
+                                              err_msg=f"{k}/{i}")
+            elif k.endswith("_col"):
+                np.testing.assert_array_equal(gv[i, :ql], rv[i, :ql],
+                                              err_msg=f"{k}/{i}")
+            else:
+                np.testing.assert_array_equal(gv[i], rv[i], err_msg=f"{k}/{i}")
