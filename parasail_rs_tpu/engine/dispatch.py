@@ -214,7 +214,13 @@ def execute(
 
     kernel_width = {"64": "32"}.get(width, width)
     with profiling.trace_region(f"pt.execute.{mode}.{outputs}"):
-        if _use_pallas(batch, outputs, gap_open, gap_extend):
+        if (outputs == "score" and not _use_pallas(batch, outputs, gap_open,
+                                                   gap_extend)
+                and _use_streaming(batch, gap_open, gap_extend)):
+            out = _execute_pallas_streamed(
+                batch, gap_open=gap_open, gap_extend=gap_extend,
+                mode=mode, free=free, width=kernel_width)
+        elif _use_pallas(batch, outputs, gap_open, gap_extend):
             out = _execute_pallas_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
                 mode=mode, free=free, width=kernel_width, outputs=outputs,
@@ -326,6 +332,77 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
         banded=banded, bandwidth=np.int32(bandwidth or 0),
         interpret=jax.default_backend() != "tpu",
     )
+    return {k: np.asarray(v)[:B] for k, v in out.items()}
+
+
+STREAM_SEG = 2048      # reference columns per streamed segment
+
+
+def _use_streaming(batch: PairBatch, gap_open: int, gap_extend: int) -> bool:
+    """Score-only batches too large for one substitution tensor stream
+    reference segments through the resumable scan kernel instead of
+    falling to the (orders-of-magnitude slower on TPU) wavefront."""
+    from ..ops.scan_kernel import scan_fits
+
+    if gap_open < gap_extend:
+        return False
+    if batch.score_values.min() < -128 or batch.score_values.max() > 127:
+        return False
+    if not scan_fits(batch.qp, STREAM_SEG, "score"):
+        return False
+    if os.environ.get("PT_FORCE_PALLAS") == "1":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
+                             width):
+    from ..ops.scan_kernel import LANES, scan_score_segment
+    import jax
+
+    B = batch.size
+    Bp = ((B + LANES - 1) // LANES) * LANES
+    pad = Bp - B
+
+    def padb(x):
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        if isinstance(x, np.ndarray):
+            return np.pad(x, widths)
+        import jax.numpy as jnp
+
+        return jnp.pad(x, widths)
+
+    shared = batch.qidx.shape[0] == 1
+    qidx = batch.qidx if shared else padb(batch.qidx)
+    prof = _device_profile(
+        None if batch.profile is None else
+        (batch.profile if shared else padb(batch.profile)),
+        batch.table, qidx)
+    ridx = padb(batch.ridx)
+    qlen = padb(batch.qlen)
+    rlen = padb(batch.rlen)
+    Rp = ridx.shape[1]
+    import jax.numpy as jnp
+
+    nseg = (Rp + STREAM_SEG - 1) // STREAM_SEG
+    if Rp % STREAM_SEG:
+        ridx = jnp.pad(jnp.asarray(ridx),
+                       ((0, 0), (0, nseg * STREAM_SEG - Rp)))
+    state = None
+    out = None
+    for si in range(nseg):
+        out, state = scan_score_segment(
+            prof, ridx[:, si * STREAM_SEG:(si + 1) * STREAM_SEG],
+            qlen, rlen, state,
+            open_=np.int32(gap_open), ext=np.int32(gap_extend),
+            mode=mode, free=free, width=width,
+            col_offset=np.int32(si * STREAM_SEG), resume=si > 0,
+            interpret=jax.default_backend() != "tpu",
+        )
     return {k: np.asarray(v)[:B] for k, v in out.items()}
 
 

@@ -167,7 +167,8 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
 
 def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                  want_trace=False, want_stats=False,
-                 want_table=False, want_rowcol=False, banded=False):
+                 want_table=False, want_rowcol=False, banded=False,
+                 resume=False, stream=False):
     """Build the column-sweep kernel body (all config static)."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
@@ -185,7 +186,16 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         scol_ref = refs.pop(0)
         qidx_ref = refs.pop(0) if want_stats else None
         ridx_ref = refs.pop(0) if want_stats else None
+        if resume:
+            hin_ref = refs.pop(0)
+            fin_ref = refs.pop(0)
+            tin_ref = refs.pop(0)
+            ain_ref = refs.pop(0)
         out_ref = refs.pop(0)
+        if stream:
+            hout_ref = refs.pop(0)
+            fout_ref = refs.pop(0)
+            tout_ref = refs.pop(0)
         trace_ref = refs.pop(0) if want_trace else None
         tab_refs = [refs.pop(0) for _ in range(nplanes)] if want_table else []
         row_refs = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
@@ -207,6 +217,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         open_ = gaps_ref[0]
         ext = gaps_ref[1]
         bw = gaps_ref[2]
+        j0 = gaps_ref[3]   # global column offset (reference streaming)
         tq = pl.program_id(1)
         jblk = pl.program_id(2)
         r0 = tq * Qc
@@ -235,13 +246,22 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
 
         @pl.when((tq == 0) & (jblk == 0))
         def _init_acc():
-            acc[:] = jnp.zeros((8, LANES), I32)
-            acc[0:1, :] = jnp.full((1, LANES), neg, I32)       # best score
-            acc[1:2, :] = jnp.full((1, LANES), I32(qp_total))  # best i
-            acc[2:3, :] = jnp.full((1, LANES), BIG, I32)       # best j
+            if resume:
+                acc[:] = ain_ref[0]
+            else:
+                acc[:] = jnp.zeros((8, LANES), I32)
+                acc[0:1, :] = jnp.full((1, LANES), neg, I32)     # best score
+                acc[1:2, :] = jnp.full((1, LANES), I32(qp_total))  # best i
+                acc[2:3, :] = jnp.full((1, LANES), BIG, I32)     # best j
 
         @pl.when(jblk == 0)
         def _init_chunk():
+            if resume:
+                # Continue from the previous reference segment's state.
+                hprev[:] = hin_ref[0, 0]
+                fprev[:] = fin_ref[0, 0]
+                htop_scr[:] = tin_ref[0, 0]
+                return
             # Bordered left column H[i+1][0] of this chunk's rows.
             hprev[:] = left_b(ig + 1) * jnp.ones((Qc, LANES), I32)
             fprev[:] = jnp.full((Qc, LANES), neg)
@@ -267,7 +287,8 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 cs[:] = jnp.zeros((Qc, LANES), I32)
 
         def col(jj, _):
-            j = jblk * Jt + jj
+            jl = jblk * Jt + jj          # segment-local column (scratch)
+            j = j0 + jl                  # global column (boundaries, coords)
             s = scol_ref[0, jj, :, :].astype(I32)       # (Qc, LANES)
             hp = hprev[:]
             fp = fprev[:]
@@ -291,7 +312,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             # the top chunk, the previous chunk's last row otherwise.
             ones = jnp.ones((1, LANES), I32)
             if chunked:
-                dH_j = dH[pl.ds(j, 1), :]
+                dH_j = dH[pl.ds(jl, 1), :]
                 toph = jnp.where(tq == 0, top_b(j + 1) * ones, dH_j)
             else:
                 toph = top_b(j + 1) * ones
@@ -300,7 +321,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             # chunks use the carried cross-chunk prefix max.
             seed0 = top_b(j + 1) - open_ + ext * (r0 - 1)
             if chunked:
-                seed = jnp.where(tq == 0, seed0 * ones, dPM[pl.ds(j, 1), :])
+                seed = jnp.where(tq == 0, seed0 * ones, dPM[pl.ds(jl, 1), :])
             else:
                 seed = seed0 * ones
             a = htemp - open_ + ext * ig
@@ -342,10 +363,10 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 seed_l = (jnp.int32(0) if (qb or local) else j + 1) + 1
                 if chunked:
                     z1 = jnp.zeros((1, LANES), I32)
-                    sm = jnp.where(tq == 0, z1, dPMm[pl.ds(j, 1), :])
-                    ss_ = jnp.where(tq == 0, z1, dPMs[pl.ds(j, 1), :])
+                    sm = jnp.where(tq == 0, z1, dPMm[pl.ds(jl, 1), :])
+                    ss_ = jnp.where(tq == 0, z1, dPMs[pl.ds(jl, 1), :])
                     sl = jnp.where(tq == 0, seed_l + z1,
-                                   dPMl[pl.ds(j, 1), :])
+                                   dPMl[pl.ds(jl, 1), :])
                     seeds = (sm, ss_, sl)
                 else:
                     seeds = (jnp.int32(0), jnp.int32(0), seed_l)
@@ -380,7 +401,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 fflag = jnp.where(from_open_f, TRACE_DIAG_F, TRACE_DEL_F)
                 h_up = jnp.where(ii == 0, toph, jnp.roll(H, 1, axis=0))
                 if chunked:
-                    e_top = jnp.where(tq == 0, neg * ones, dE[pl.ds(j, 1), :])
+                    e_top = jnp.where(tq == 0, neg * ones, dE[pl.ds(jl, 1), :])
                 else:
                     e_top = neg * ones
                 e_up = jnp.where(ii == 0, e_top, jnp.roll(E, 1, axis=0))
@@ -407,17 +428,17 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 top_l1 = (jnp.int32(0) if (qb or local) else j + 1) * ones1
                 if chunked:
                     htop_scr[1:2, :] = jnp.where(
-                        tq == 0, 0 * ones1, dHm[pl.ds(j, 1), :])
+                        tq == 0, 0 * ones1, dHm[pl.ds(jl, 1), :])
                     htop_scr[2:3, :] = jnp.where(
-                        tq == 0, 0 * ones1, dHs[pl.ds(j, 1), :])
+                        tq == 0, 0 * ones1, dHs[pl.ds(jl, 1), :])
                     htop_scr[3:4, :] = jnp.where(
-                        tq == 0, top_l1, dHl[pl.ds(j, 1), :])
+                        tq == 0, top_l1, dHl[pl.ds(jl, 1), :])
                 else:
                     htop_scr[1:2, :] = 0 * ones1
                     htop_scr[2:3, :] = 0 * ones1
                     htop_scr[3:4, :] = top_l1
             if chunked:
-                dH[pl.ds(j, 1), :] = H[Qc - 1:Qc, :]
+                dH[pl.ds(jl, 1), :] = H[Qc - 1:Qc, :]
                 if want_stats:
                     # cross-chunk prefix max with payloads: combine the
                     # exclusive scan at the last row (covers seed + rows
@@ -426,21 +447,21 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     lastA = a[Qc - 1:Qc, :]
                     prev = pm[Qc - 1:Qc, :]
                     take_last = lastA >= prev
-                    dPM[pl.ds(j, 1), :] = jnp.where(take_last, lastA, prev)
-                    dPMm[pl.ds(j, 1), :] = jnp.where(
+                    dPM[pl.ds(jl, 1), :] = jnp.where(take_last, lastA, prev)
+                    dPMm[pl.ds(jl, 1), :] = jnp.where(
                         take_last, Tm[Qc - 1:Qc, :], Em[Qc - 1:Qc, :])
-                    dPMs[pl.ds(j, 1), :] = jnp.where(
+                    dPMs[pl.ds(jl, 1), :] = jnp.where(
                         take_last, Ts[Qc - 1:Qc, :], Es[Qc - 1:Qc, :])
-                    dPMl[pl.ds(j, 1), :] = jnp.where(
+                    dPMl[pl.ds(jl, 1), :] = jnp.where(
                         take_last, Tlm[Qc - 1:Qc, :], Elm[Qc - 1:Qc, :])
-                    dHm[pl.ds(j, 1), :] = Hm[Qc - 1:Qc, :]
-                    dHs[pl.ds(j, 1), :] = Hs[Qc - 1:Qc, :]
-                    dHl[pl.ds(j, 1), :] = Hl[Qc - 1:Qc, :]
+                    dHm[pl.ds(jl, 1), :] = Hm[Qc - 1:Qc, :]
+                    dHs[pl.ds(jl, 1), :] = Hs[Qc - 1:Qc, :]
+                    dHl[pl.ds(jl, 1), :] = Hl[Qc - 1:Qc, :]
                 else:
-                    dPM[pl.ds(j, 1), :] = jnp.maximum(
+                    dPM[pl.ds(jl, 1), :] = jnp.maximum(
                         seed, a.max(axis=0, keepdims=True))
                 if want_trace:
-                    dE[pl.ds(j, 1), :] = E[Qc - 1:Qc, :]
+                    dE[pl.ds(jl, 1), :] = E[Qc - 1:Qc, :]
 
             inseq = imask & (j < rlen)
             planes = [H] if not want_stats else [H, Hm, Hs, Hl]
@@ -510,6 +531,10 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             # each chunk owns its slice of the last-column output
             for cref, cs in zip(col_refs, col_scratch):
                 cref[0] = cs[:]
+            if stream:
+                hout_ref[0, 0] = hprev[:]
+                fout_ref[0, 0] = fprev[:]
+                tout_ref[0, 0] = htop_scr[:]
 
         @pl.when((tq == nq - 1) & (jblk == nj - 1))
         def _fini():
@@ -591,7 +616,7 @@ def scan_score_align(
     qlen_b = qlen.reshape(nb, 1, LANES)
     rlen_b = rlen.reshape(nb, 1, LANES)
     gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32),
-                      jnp.asarray(bandwidth, I32)])
+                      jnp.asarray(bandwidth, I32), jnp.asarray(0, I32)])
 
     kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rp, Qp,
                           want_trace=want_trace, want_stats=want_stats,
@@ -737,3 +762,139 @@ def scan_score_align(
             out[f"{name}_col"] = res[ri].transpose(0, 2, 1).reshape(B, Qp)
             ri += 1
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "free", "width", "resume", "interpret"),
+)
+def scan_score_segment(
+    profile,       # (B or 1, Qp, A) int32
+    ridx_seg,      # (B, Rseg) int32 — THIS segment's reference columns
+    qlen,          # (B,) int32 — global query lengths
+    rlen,          # (B,) int32 — GLOBAL reference lengths
+    state=None,    # {"h","f","t","acc"} from the previous segment
+    *,
+    open_,
+    ext,
+    mode: str,
+    free: tuple[bool, bool, bool, bool],
+    width: str = "32",
+    col_offset=0,  # traced: global column index of this segment's start
+    resume: bool = False,
+    interpret: bool = False,
+):
+    """One reference segment of a score-only sweep (unbounded Rp).
+
+    The engine streams segments left to right, threading the carried
+    state (per-chunk H/F boundary columns, the diagonal carry, and the
+    candidate accumulators); after the last segment the returned dict is
+    the same contract as ``scan_score_align(outputs="score")``.
+    Returns (out, new_state).
+    """
+    _, Qp, A = profile.shape
+    B, Rseg = ridx_seg.shape
+    assert B % LANES == 0
+    nb = B // LANES
+    plan = _plan(Qp, Rseg, "score")
+    assert plan is not None
+    Qc, nq, Jt, nj = plan
+
+    scol = build_scol(profile, ridx_seg)
+    scol = scol.reshape(nb, LANES, Rseg, Qp).transpose(0, 2, 3, 1)
+    qlen_b = qlen.reshape(nb, 1, LANES)
+    rlen_b = rlen.reshape(nb, 1, LANES)
+    gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32),
+                      jnp.asarray(0, I32), jnp.asarray(col_offset, I32)])
+
+    kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rseg, Qp,
+                          resume=resume, stream=True)
+
+    inputs = [gaps, qlen_b, rlen_b, scol]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if resume:
+        inputs += [state["h"], state["f"], state["t"], state["acc"]]
+        in_specs += [
+            pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, LANES), lambda b, t, j: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, 8, LANES), I32),
+        jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32),   # H boundary
+        jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32),   # F boundary
+        jax.ShapeDtypeStruct((nb, nq, 1, LANES), I32),    # diag carry
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, LANES), lambda b, t, j: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    Rpad = (Rseg + 7) // 8 * 8
+    scratch = [
+        pltpu.VMEM((Qc, LANES), I32),      # hprev
+        pltpu.VMEM((Qc, LANES), I32),      # fprev
+        pltpu.VMEM((1, LANES), I32),       # htop carry
+    ]
+    if nq > 1:
+        scratch += [pltpu.VMEM((Rpad, LANES), I32),
+                    pltpu.VMEM((Rpad, LANES), I32)]
+    scratch.append(pltpu.VMEM((8, LANES), I32))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(nb, nq, nj),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    acc_dev, hout, fout, tout = res
+    new_state = {"h": hout, "f": fout, "t": tout, "acc": acc_dev}
+
+    acc = acc_dev.transpose(0, 2, 1).reshape(B, 8)
+    best, bi, bj = acc[:, 0], acc[:, 1], acc[:, 2]
+    sat8, sat16 = acc[:, 3] != 0, acc[:, 4] != 0
+    out = {}
+    if width == "8":
+        out["saturated"] = sat8
+    elif width in ("16", "sat"):
+        out["saturated"] = sat16
+        if width == "sat":
+            out["promoted"] = sat8
+    else:
+        out["saturated"] = jnp.zeros(B, bool)
+    if mode == "nw":
+        out["score"] = best
+        out["end_query"] = qlen - 1
+        out["end_ref"] = rlen - 1
+    else:
+        empty = best <= 0 if mode == "sw" else jnp.zeros_like(best, bool)
+        out["score"] = jnp.where(empty, 0, best) if mode == "sw" else best
+        out["end_query"] = jnp.where(empty, 0, bi)
+        out["end_ref"] = jnp.where(empty, 0, bj)
+    return out, new_state

@@ -346,3 +346,64 @@ def test_scan_chunked_rowcol_vs_wavefront(outputs):
                                               err_msg=f"{k}/{i}")
             else:
                 np.testing.assert_array_equal(gv[i], rv[i], err_msg=f"{k}/{i}")
+
+
+def test_segment_streaming_matches_monolithic():
+    # resumable segments (unbounded-reference path) vs one-shot kernel
+    from parasail_rs_tpu.ops.scan_kernel import scan_score_segment
+
+    m = Matrix.from_name("blosum62")
+    rng = np.random.default_rng(51)
+    alpha = list(b"ARNDCQEGHILKMFPSTWYV")
+    prows, qidxs, ridxs = [], [], []
+    for _ in range(128):
+        q = rng.choice(alpha, size=rng.integers(3, 60)).astype("uint8").tobytes()
+        r = rng.choice(alpha, size=rng.integers(3, 250)).astype("uint8").tobytes()
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    b = build_batch(prows, qidxs, ridxs, Rp=256)
+    SEG = 64
+    for mode, free in [("sw", (True,) * 4), ("nw", (False,) * 4),
+                       ("sg", (True, False, False, True))]:
+        ref = scan_score_align(
+            b.profile, b.ridx, b.qlen, b.rlen,
+            open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+            width="sat", interpret=INTERPRET)
+        state, out = None, None
+        for s0 in range(0, 256, SEG):
+            out, state = scan_score_segment(
+                b.profile, b.ridx[:, s0:s0 + SEG], b.qlen, b.rlen, state,
+                open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+                width="sat", col_offset=np.int32(s0), resume=s0 > 0,
+                interpret=INTERPRET)
+        for k in ("score", "end_query", "end_ref", "saturated", "promoted"):
+            np.testing.assert_array_equal(
+                np.asarray(out[k]), np.asarray(ref[k]), err_msg=f"{mode}/{k}")
+
+
+def test_engine_streamed_long_reference(monkeypatch):
+    # engine routes huge-scol score batches through segment streaming
+    from parasail_rs_tpu.engine import Aligner, dispatch as disp
+    from parasail_rs_tpu.golden import model as golden
+
+    rng = np.random.default_rng(61)
+    m = Matrix.create(b"ACGT", 2, -3)
+    qs = [rng.choice(list(b"ACGT"), size=40).astype("uint8").tobytes()
+          for _ in range(3)]
+    rs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(300, 500)).astype("uint8").tobytes()
+          for _ in range(3)]
+    aligner = Aligner.new().matrix(m).gap_open(4).gap_extend(1).local().build()
+    batch, qlens, rlens = aligner._pack(qs, rs)
+    monkeypatch.setattr(disp, "STREAM_SEG", 128)
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    out = disp._execute_pallas_streamed(
+        batch, gap_open=4, gap_extend=1, mode="sw", free=(True,) * 4,
+        width="sat")
+    for i, (q, r) in enumerate(zip(qs, rs)):
+        g = golden.align_seqs(q, r, m, 4, 1, "sw")
+        assert int(out["score"][i]) == g.score
+        assert int(out["end_query"][i]) == g.end_query
+        assert int(out["end_ref"][i]) == g.end_ref
