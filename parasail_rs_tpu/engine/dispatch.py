@@ -214,12 +214,12 @@ def execute(
 
     kernel_width = {"64": "32"}.get(width, width)
     with profiling.trace_region(f"pt.execute.{mode}.{outputs}"):
-        if (outputs == "score" and not _use_pallas(batch, outputs, gap_open,
-                                                   gap_extend)
-                and _use_streaming(batch, gap_open, gap_extend)):
+        if (outputs in ("score", "stats")
+                and not _use_pallas(batch, outputs, gap_open, gap_extend)
+                and _use_streaming(batch, outputs, gap_open, gap_extend)):
             out = _execute_pallas_streamed(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
-                mode=mode, free=free, width=kernel_width)
+                mode=mode, free=free, width=kernel_width, outputs=outputs)
         elif _use_pallas(batch, outputs, gap_open, gap_extend):
             out = _execute_pallas_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
@@ -338,17 +338,20 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
 STREAM_SEG = 2048      # reference columns per streamed segment
 
 
-def _use_streaming(batch: PairBatch, gap_open: int, gap_extend: int) -> bool:
-    """Score-only batches too large for one substitution tensor stream
+def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
+                   gap_extend: int) -> bool:
+    """Score/stats batches too large for one substitution tensor stream
     reference segments through the resumable scan kernel instead of
     falling to the (orders-of-magnitude slower on TPU) wavefront."""
     from ..ops.scan_kernel import scan_fits
 
     if gap_open < gap_extend:
         return False
+    if outputs == "stats" and gap_open == gap_extend:
+        return False
     if batch.score_values.min() < -128 or batch.score_values.max() > 127:
         return False
-    if not scan_fits(batch.qp, STREAM_SEG, "score"):
+    if not scan_fits(batch.qp, STREAM_SEG, outputs):
         return False
     if os.environ.get("PT_FORCE_PALLAS") == "1":
         return True
@@ -358,7 +361,7 @@ def _use_streaming(batch: PairBatch, gap_open: int, gap_extend: int) -> bool:
 
 
 def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
-                             width):
+                             width, outputs="score"):
     from ..ops.scan_kernel import LANES, scan_score_segment
     import jax
 
@@ -398,8 +401,9 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
         out, state = scan_score_segment(
             prof, ridx[:, si * STREAM_SEG:(si + 1) * STREAM_SEG],
             qlen, rlen, state,
+            qidx if outputs == "stats" else None,
             open_=np.int32(gap_open), ext=np.int32(gap_extend),
-            mode=mode, free=free, width=width,
+            mode=mode, free=free, width=width, outputs=outputs,
             col_offset=np.int32(si * STREAM_SEG), resume=si > 0,
             interpret=jax.default_backend() != "tpu",
         )

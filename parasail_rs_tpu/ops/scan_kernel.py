@@ -191,11 +191,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             fin_ref = refs.pop(0)
             tin_ref = refs.pop(0)
             ain_ref = refs.pop(0)
+            sin_refs = ([refs.pop(0) for _ in range(6)]
+                        if want_stats else [])
         out_ref = refs.pop(0)
         if stream:
             hout_ref = refs.pop(0)
             fout_ref = refs.pop(0)
             tout_ref = refs.pop(0)
+            sout_refs = ([refs.pop(0) for _ in range(6)]
+                         if want_stats else [])
         trace_ref = refs.pop(0) if want_trace else None
         tab_refs = [refs.pop(0) for _ in range(nplanes)] if want_table else []
         row_refs = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
@@ -261,6 +265,9 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 hprev[:] = hin_ref[0, 0]
                 fprev[:] = fin_ref[0, 0]
                 htop_scr[:] = tin_ref[0, 0]
+                if want_stats:
+                    for dst, src in zip((hm, hs, hl, fm, fs, fl), sin_refs):
+                        dst[:] = src[0, 0]
                 return
             # Bordered left column H[i+1][0] of this chunk's rows.
             hprev[:] = left_b(ig + 1) * jnp.ones((Qc, LANES), I32)
@@ -535,6 +542,9 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 hout_ref[0, 0] = hprev[:]
                 fout_ref[0, 0] = fprev[:]
                 tout_ref[0, 0] = htop_scr[:]
+                if want_stats:
+                    for dst, src in zip(sout_refs, (hm, hs, hl, fm, fs, fl)):
+                        dst[0, 0] = src[:]
 
         @pl.when((tq == nq - 1) & (jblk == nj - 1))
         def _fini():
@@ -766,39 +776,44 @@ def scan_score_align(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "free", "width", "resume", "interpret"),
+    static_argnames=("mode", "free", "width", "outputs", "resume",
+                     "interpret"),
 )
 def scan_score_segment(
     profile,       # (B or 1, Qp, A) int32
     ridx_seg,      # (B, Rseg) int32 — THIS segment's reference columns
     qlen,          # (B,) int32 — global query lengths
     rlen,          # (B,) int32 — GLOBAL reference lengths
-    state=None,    # {"h","f","t","acc"} from the previous segment
+    state=None,    # carried state dict from the previous segment
+    qidx=None,     # (B or 1, Qp) int32 — required for outputs="stats"
     *,
     open_,
     ext,
     mode: str,
     free: tuple[bool, bool, bool, bool],
     width: str = "32",
+    outputs: str = "score",     # "score" | "stats"
     col_offset=0,  # traced: global column index of this segment's start
     resume: bool = False,
     interpret: bool = False,
 ):
-    """One reference segment of a score-only sweep (unbounded Rp).
+    """One reference segment of a score or stats sweep (unbounded Rp).
 
     The engine streams segments left to right, threading the carried
-    state (per-chunk H/F boundary columns, the diagonal carry, and the
-    candidate accumulators); after the last segment the returned dict is
-    the same contract as ``scan_score_align(outputs="score")``.
-    Returns (out, new_state).
+    state (per-chunk H/F boundary columns, diag/stat carries, stats
+    planes, and the candidate accumulators); after the last segment the
+    returned dict matches ``scan_score_align``'s contract for the same
+    output class.  Returns (out, new_state).
     """
+    want_stats = outputs == "stats"
     _, Qp, A = profile.shape
     B, Rseg = ridx_seg.shape
     assert B % LANES == 0
     nb = B // LANES
-    plan = _plan(Qp, Rseg, "score")
+    plan = _plan(Qp, Rseg, outputs)
     assert plan is not None
     Qc, nq, Jt, nj = plan
+    TROWS = 4 if want_stats else 1
 
     scol = build_scol(profile, ridx_seg)
     scol = scol.reshape(nb, LANES, Rseg, Qp).transpose(0, 2, 3, 1)
@@ -808,7 +823,7 @@ def scan_score_segment(
                       jnp.asarray(0, I32), jnp.asarray(col_offset, I32)])
 
     kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rseg, Qp,
-                          resume=resume, stream=True)
+                          want_stats=want_stats, resume=resume, stream=True)
 
     inputs = [gaps, qlen_b, rlen_b, scol]
     in_specs = [
@@ -820,44 +835,54 @@ def scan_score_segment(
         pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if resume:
-        inputs += [state["h"], state["f"], state["t"], state["acc"]]
+    if want_stats:
+        assert qidx is not None
+        qidx_full = jnp.broadcast_to(jnp.asarray(qidx, I32), (B, Qp))
+        qidx_b = qidx_full.reshape(nb, LANES, Qp).transpose(0, 2, 1)
+        ridx_b = ridx_seg.reshape(nb, LANES, Rseg).transpose(0, 2, 1)
+        inputs += [qidx_b, ridx_b]
         in_specs += [
-            pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
+            pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, LANES), lambda b, t, j: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
+            pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ]
 
+    chunk_spec = pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec(
+        (1, 1, TROWS, LANES), lambda b, t, j: (b, t, 0, 0),
+        memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    nstate = 6 if want_stats else 0
+    if resume:
+        inputs += [state["h"], state["f"], state["t"], state["acc"]]
+        in_specs += [chunk_spec, chunk_spec, carry_spec, acc_spec]
+        if want_stats:
+            inputs += list(state["stats"])
+            in_specs += [chunk_spec] * nstate
+
     out_shape = [
         jax.ShapeDtypeStruct((nb, 8, LANES), I32),
-        jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32),   # H boundary
-        jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32),   # F boundary
-        jax.ShapeDtypeStruct((nb, nq, 1, LANES), I32),    # diag carry
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, LANES), lambda b, t, j: (b, t, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+        jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32),      # H boundary
+        jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32),      # F boundary
+        jax.ShapeDtypeStruct((nb, nq, TROWS, LANES), I32),   # diag carry
+    ] + [jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32)] * nstate
+    out_specs = [acc_spec, chunk_spec, chunk_spec, carry_spec] +         [chunk_spec] * nstate
     Rpad = (Rseg + 7) // 8 * 8
     scratch = [
         pltpu.VMEM((Qc, LANES), I32),      # hprev
         pltpu.VMEM((Qc, LANES), I32),      # fprev
-        pltpu.VMEM((1, LANES), I32),       # htop carry
     ]
+    if want_stats:
+        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
+    scratch.append(pltpu.VMEM((TROWS, LANES), I32))  # htop carry
     if nq > 1:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),
                     pltpu.VMEM((Rpad, LANES), I32)]
+        if want_stats:
+            scratch += [pltpu.VMEM((Rpad, LANES), I32) for _ in range(6)]
     scratch.append(pltpu.VMEM((8, LANES), I32))
 
     res = pl.pallas_call(
@@ -873,8 +898,10 @@ def scan_score_segment(
         interpret=interpret,
     )(*inputs)
 
-    acc_dev, hout, fout, tout = res
+    acc_dev, hout, fout, tout = res[0], res[1], res[2], res[3]
     new_state = {"h": hout, "f": fout, "t": tout, "acc": acc_dev}
+    if want_stats:
+        new_state["stats"] = tuple(res[4:10])
 
     acc = acc_dev.transpose(0, 2, 1).reshape(B, 8)
     best, bi, bj = acc[:, 0], acc[:, 1], acc[:, 2]
@@ -897,4 +924,12 @@ def scan_score_segment(
         out["score"] = jnp.where(empty, 0, best) if mode == "sw" else best
         out["end_query"] = jnp.where(empty, 0, bi)
         out["end_ref"] = jnp.where(empty, 0, bj)
+    if want_stats:
+        bm, bs, bl = acc[:, 5], acc[:, 6], acc[:, 7]
+        if mode == "sw":
+            empty = best <= 0
+            bm = jnp.where(empty, 0, bm)
+            bs = jnp.where(empty, 0, bs)
+            bl = jnp.where(empty, 0, bl)
+        out["matches"], out["similar"], out["length"] = bm, bs, bl
     return out, new_state

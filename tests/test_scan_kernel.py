@@ -407,3 +407,35 @@ def test_engine_streamed_long_reference(monkeypatch):
         assert int(out["score"][i]) == g.score
         assert int(out["end_query"][i]) == g.end_query
         assert int(out["end_ref"][i]) == g.end_ref
+
+
+def test_segment_streaming_stats():
+    from parasail_rs_tpu.ops.scan_kernel import scan_score_segment
+
+    m = Matrix.from_name("blosum62")
+    rng = np.random.default_rng(53)
+    alpha = list(b"ARNDCQEGHILKMFPSTWYV")
+    prows, qidxs, ridxs = [], [], []
+    for _ in range(128):
+        q = rng.choice(alpha, size=rng.integers(3, 50)).astype("uint8").tobytes()
+        r = rng.choice(alpha, size=rng.integers(3, 200)).astype("uint8").tobytes()
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    b = build_batch(prows, qidxs, ridxs, Rp=256)
+    ref = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen, b.qidx,
+        open_=np.int32(11), ext=np.int32(1), mode="sw", free=(True,) * 4,
+        width="sat", outputs="stats", interpret=INTERPRET)
+    state, out = None, None
+    for s0 in range(0, 256, 64):
+        out, state = scan_score_segment(
+            b.profile, b.ridx[:, s0:s0 + 64], b.qlen, b.rlen, state, b.qidx,
+            open_=np.int32(11), ext=np.int32(1), mode="sw", free=(True,) * 4,
+            width="sat", outputs="stats", col_offset=np.int32(s0),
+            resume=s0 > 0, interpret=INTERPRET)
+    for k in ("score", "end_query", "end_ref", "matches", "similar",
+              "length"):
+        np.testing.assert_array_equal(
+            np.asarray(out[k]), np.asarray(ref[k]), err_msg=k)
