@@ -13,6 +13,7 @@ vs_baseline is value / 1e6 (the BASELINE.json target of 10^6 aln/s/chip).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,6 +21,32 @@ import numpy as np
 
 
 def main():
+    """Measure on the default backend; if the TPU path hangs or errors
+    (the dev tunnel occasionally wedges with FailedPrecondition), re-exec
+    on the CPU backend so ONE honest JSON line is always printed."""
+    if os.environ.get("PT_BENCH_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        _run()
+        return
+    import multiprocessing as mp
+
+    proc = mp.Process(target=_run)
+    proc.start()
+    proc.join(timeout=480)
+    if proc.exitcode == 0:
+        return
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
+    print("[bench] TPU run hung or failed; falling back to CPU backend",
+          file=sys.stderr)
+    os.environ["PT_BENCH_CPU"] = "1"
+    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
+def _run():
     import jax
 
     backend = jax.default_backend()
@@ -88,6 +115,7 @@ def main():
         "value": round(aps),
         "unit": "alignments/sec/chip",
         "vs_baseline": round(aps / 1e6, 3),
+        "backend": backend,
     }))
 
 
