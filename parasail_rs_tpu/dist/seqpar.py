@@ -60,15 +60,33 @@ def _prefix_max_exclusive(a, ii, seed):
     return x
 
 
+def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
+    """Payload-carrying exclusive prefix max (ops/scan_kernel.py twin);
+    ties prefer the larger origin row, matching the golden oracle."""
+    neg = NEG_INF32
+    x = jnp.where(ii == 0, seed, jnp.roll(a, 1, axis=0))
+    ps = [jnp.where(ii == 0, sp, jnp.roll(p, 1, axis=0))
+          for p, sp in zip(payloads, seed_payloads)]
+    s = 1
+    while s < a.shape[0]:
+        xs = jnp.where(ii >= s, jnp.roll(x, s, axis=0), neg)
+        take = xs > x
+        x = jnp.where(take, xs, x)
+        ps = [jnp.where(take, jnp.roll(p, s, axis=0), p) for p in ps]
+        s *= 2
+    return x, ps
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "mode", "free", "q_chunk"),
+    static_argnames=("mesh", "mode", "free", "q_chunk", "outputs"),
 )
 def seqpar_align(
     profile,      # (Qp, A, B) int32 — query profile rows, replicated
     ridx,         # (Rp, B) int32 — reference indices, sharded over "seq"
     qlen,         # (B,) int32
     rlen,         # (B,) int32
+    qidx=None,    # (Qp, B) int32 — required for outputs="stats"
     *,
     open_,
     ext,
@@ -76,13 +94,20 @@ def seqpar_align(
     mode: str,
     free: tuple[bool, bool, bool, bool] = (False,) * 4,
     q_chunk: int = 256,
+    outputs: str = "score",
 ):
-    """Score + end coordinates for pairs too long for one chip.
+    """Score (+ stats) and end coordinates for pairs too long for one chip.
 
     Rp must divide by the mesh size; Qp by ``q_chunk``.  Returns
-    {score, end_query, end_ref} (B,) int32, bit-exact vs the golden
-    oracle (same candidate tie-breaks as the single-chip kernels).
+    {score, end_query, end_ref} (B,) int32 — plus matches/similar/length
+    for ``outputs="stats"`` (which requires gap_open > gap_extend, the
+    same payload-prefix contract as the single-chip kernel) — bit-exact
+    vs the golden oracle.
     """
+    want_stats = outputs == "stats"
+    if qidx is None:
+        assert not want_stats, "stats need the mapped query indices"
+        qidx = jnp.zeros((profile.shape[0], profile.shape[2]), I32)
     Qp, A, B = profile.shape
     Rp = ridx.shape[0]
     D = mesh.devices.size
@@ -105,17 +130,26 @@ def seqpar_align(
         v = jnp.where(ig > 0, -(open_ + (ig - 1) * ext), 0).astype(I32)
         return jnp.zeros_like(v) if db or local else v
 
-    def device_fn(profile, ridx_sh, qlen, rlen):
+    def device_fn(profile, ridx_sh, qlen, rlen, qidx):
         # ridx_sh: (C, B) — this device's column chunk.
         d = jax.lax.axis_index(axis)
         jg0 = d * C                                   # first global column
         onehot = jax.nn.one_hot(ridx_sh, A, dtype=jnp.float32,
                                 axis=1)               # (C, A, B)
         iic = jax.lax.broadcasted_iota(I32, (Qc, B), 0)
+        nstat = 9 if want_stats else 0
+
+        def top_len(c):
+            return (jnp.zeros_like(jnp.asarray(c), I32)
+                    if (qb or local) else jnp.asarray(c, I32))
+
+        def left_len(c):
+            return (jnp.zeros_like(jnp.asarray(c), I32)
+                    if (db or local) else jnp.asarray(c, I32))
 
         def superstep(carry, s):
-            (dHlast, dPM, halo_h, halo_f, halo_top,
-             best, bi, bj) = carry
+            (dHlast, dPM, dstats, halo_h, halo_f, halo_sc, halo_top,
+             best, bi, bj, bstats) = carry
             t = s - d
             active = (t >= 0) & (t < S)
             tc = jnp.clip(t, 0, S - 1)
@@ -134,36 +168,133 @@ def seqpar_align(
             htop0 = jnp.where(d == 0, left_b(r0), halo_top)   # H[r0-1, j-1]
 
             ig = r0 + iic                                     # global i
+            if want_stats:
+                qidx_c = jax.lax.dynamic_slice(qidx, (r0, 0), (Qc, B))
+                z = jnp.zeros((Qc, B), I32)
+                # halo_sc rows: Hm/Hs/Hl, Fm/Fs/Fl columns of the left
+                # neighbor's final column
+                hm0 = jnp.where(d == 0, z, halo_sc[0])
+                hs0 = jnp.where(d == 0, z, halo_sc[1])
+                hl0 = jnp.where(d == 0, left_len(r0 + iic + 1), halo_sc[2])
+                fm0 = jnp.where(d == 0, z, halo_sc[3])
+                fs0 = jnp.where(d == 0, z, halo_sc[4])
+                fl0 = jnp.where(d == 0, z, halo_sc[5])
+                zb = jnp.zeros((B,), I32)
+                tm0 = jnp.where(d == 0, zb, halo_sc[6][0])
+                ts0 = jnp.where(d == 0, zb, halo_sc[7][0])
+                tl0 = jnp.where(d == 0, left_len(r0) * jnp.ones((B,), I32),
+                                halo_sc[8][0])
 
             def colstep(cc, xs):
-                hcol, fcol, htopd = cc
-                s_col, dH_j, dPM_j, jl = xs               # per-column ins
+                if want_stats:
+                    (hcol, fcol, htopd, hm, hs, hl, fm, fs, fl,
+                     tophm, tophs, tophl) = cc
+                    s_col, dH_j, dPM_j, dst_j, rcol, jl = xs
+                else:
+                    hcol, fcol, htopd = cc
+                    s_col, dH_j, dPM_j, dst_j, rcol, jl = xs
                 jg = jg0 + jl                              # global j
+                from_open_f = hcol - open_ >= fcol - ext
                 F = jnp.maximum(hcol - open_, fcol - ext)
                 # Interior H[r0-1, j]; for the top chunk this is the
                 # bordered boundary cell H[0][j+1].
                 toph = jnp.where(t == 0, top_b(jg + 1), dH_j)
                 hdiag = jnp.where(iic == 0, htopd,
                                   jnp.roll(hcol, 1, axis=0))
-                htemp = jnp.maximum(hdiag + s_col, F)
+                diag = hdiag + s_col
+                htemp = jnp.maximum(diag, F)
                 if local:
                     htemp = jnp.maximum(htemp, 0)
                 a = htemp - open_ + ext * ig
                 seed = jnp.where(t == 0, top_b(jg + 1) - open_ - ext, dPM_j)
-                pm = _prefix_max_exclusive(a, iic, seed)
-                E = pm - ext * (ig - 1)
+                if want_stats:
+                    im = (qidx_c == rcol[None, :]).astype(I32)
+                    m_d = jnp.where(iic == 0, tophm[None, :],
+                                    jnp.roll(hm, 1, axis=0))
+                    s_d = jnp.where(iic == 0, tophs[None, :],
+                                    jnp.roll(hs, 1, axis=0))
+                    l_d = jnp.where(iic == 0, tophl[None, :],
+                                    jnp.roll(hl, 1, axis=0))
+                    Dm = m_d + im
+                    Ds = s_d + (s_col > 0).astype(I32)
+                    Dl = l_d + 1
+                    Fm = jnp.where(from_open_f, hm, fm)
+                    Fs = jnp.where(from_open_f, hs, fs)
+                    Fl = jnp.where(from_open_f, hl, fl) + 1
+                    t_diag = diag >= F
+                    Tm = jnp.where(t_diag, Dm, Fm)
+                    Ts = jnp.where(t_diag, Ds, Fs)
+                    Tlm = jnp.where(t_diag, Dl, Fl) - ig
+                    if local:
+                        zt = htemp == 0
+                        Tm = jnp.where(zt, 0, Tm)
+                        Ts = jnp.where(zt, 0, Ts)
+                        Tlm = jnp.where(zt, -ig, Tlm)
+                    seed_l = top_len(jg + 1) + 1
+                    sm = jnp.where(t == 0, jnp.zeros((B,), I32), dst_j[3])
+                    ss_ = jnp.where(t == 0, jnp.zeros((B,), I32), dst_j[4])
+                    sl = jnp.where(t == 0, seed_l * jnp.ones((B,), I32),
+                                   dst_j[5])
+                    pm, (Em, Es, Elm) = _prefix_argmax_exclusive(
+                        a, (Tm, Ts, Tlm), iic, seed,
+                        (sm[None, :], ss_[None, :], sl[None, :]))
+                    E = pm - ext * (ig - 1)
+                    El = Elm + ig
+                else:
+                    pm = _prefix_max_exclusive(a, iic, seed)
+                    E = pm - ext * (ig - 1)
                 H = jnp.maximum(htemp, E)
                 newPM = jnp.maximum(seed, a.max(axis=0))
-                ys = (H[-1, :], newPM, H, toph)
+                if want_stats:
+                    take_diag = (diag >= E) & (diag >= F)
+                    take_e = (~take_diag) & (E >= F)
+                    Hm = jnp.where(take_diag, Dm, jnp.where(take_e, Em, Fm))
+                    Hs = jnp.where(take_diag, Ds, jnp.where(take_e, Es, Fs))
+                    Hl = jnp.where(take_diag, Dl, jnp.where(take_e, El, Fl))
+                    if local:
+                        zc = H <= 0
+                        Hm = jnp.where(zc, 0, Hm)
+                        Hs = jnp.where(zc, 0, Hs)
+                        Hl = jnp.where(zc, 0, Hl)
+                    # cross-chunk prefix payloads: combine exclusive scan
+                    # at the last row with the last row itself
+                    lastA = a[-1, :]
+                    prev = pm[-1, :]
+                    take_last = lastA >= prev
+                    nPMm = jnp.where(take_last, Tm[-1, :], Em[-1, :])
+                    nPMs = jnp.where(take_last, Ts[-1, :], Es[-1, :])
+                    nPMl = jnp.where(take_last, Tlm[-1, :], Elm[-1, :])
+                    ndst = jnp.stack([Hm[-1, :], Hs[-1, :], Hl[-1, :],
+                                      nPMm, nPMs, nPMl])
+                    # toph stats for the NEXT column: stats of (r0-1, jg)
+                    tophm_n = jnp.where(t == 0, jnp.zeros((B,), I32),
+                                        dst_j[0])
+                    tophs_n = jnp.where(t == 0, jnp.zeros((B,), I32),
+                                        dst_j[1])
+                    tophl_n = jnp.where(
+                        t == 0, top_len(jg + 1) * jnp.ones((B,), I32),
+                        dst_j[2])
+                    ys = (H[-1, :], newPM, ndst, H, Hm, Hs, Hl, toph)
+                    return ((H, F, toph, Hm, Hs, Hl, Fm, Fs, Fl,
+                             tophm_n, tophs_n, tophl_n), ys)
+                ys = (H[-1, :], newPM, jnp.zeros((6, B), I32), H,
+                      H, H, H, toph)
                 return (H, F, toph), ys
 
+            if want_stats:
+                cc0 = (hcol0, fcol0, htop0, hm0, hs0, hl0, fm0, fs0, fl0,
+                       tm0, ts0, tl0)
+            else:
+                cc0 = (hcol0, fcol0, htop0)
             cols = (
                 jnp.moveaxis(stile, 0, 0),                 # (C, Qc, B)
-                dHlast, dPM,                               # (C, B)
+                dHlast, dPM, dstats,                       # (C, ...)
+                jnp.swapaxes(ridx_sh, 0, 0),               # (C, B)
                 jnp.arange(C, dtype=I32),
             )
-            (hfin, ffin, htopfin), (nHlast, nPM, Hall, _tops) = \
-                jax.lax.scan(colstep, (hcol0, fcol0, htop0), cols)
+            ccf, (nHlast, nPM, ndstats, Hall, Hmall, Hsall, Hlall, _tops) = \
+                jax.lax.scan(colstep, cc0, cols)
+            hfin, ffin, htopfin = ccf[0], ccf[1], ccf[2]
 
             # -- candidate tracking over the freshly filled tile --------
             # Hall: (C, Qc, B); global coords jg = jg0 + c, ig = r0 + q.
@@ -195,52 +326,88 @@ def seqpar_align(
             best = jnp.where(better, stepb, best)
             bi = jnp.where(better, stepi, bi)
             bj = jnp.where(better, stepj, bj)
+            if want_stats:
+                winner = (cellmax & (igv == stepi[None, None, :])
+                          & (jgv == stepj[None, None, :]))
+                pick = lambda M: jnp.where(winner, M, 0).max(axis=(0, 1))
+                stepstats = jnp.stack([pick(Hmall), pick(Hsall),
+                                       pick(Hlall)])
+                bstats = jnp.where(better[None, :], stepstats, bstats)
 
             # -- state updates ------------------------------------------
             upd = lambda old, new: jnp.where(active, new, old)
             dHlast = upd(dHlast, nHlast)
             dPM = upd(dPM, nPM)
+            dstats = jnp.where(active, ndstats, dstats)
             # halo to the right neighbor (ICI ring step)
             perm = [(k, k + 1) for k in range(D - 1)]
             halo_h = jax.lax.ppermute(upd(halo_h, hfin), axis, perm)
             halo_f = jax.lax.ppermute(upd(halo_f, ffin), axis, perm)
             halo_top = jax.lax.ppermute(upd(halo_top, htopfin), axis, perm)
-            return (dHlast, dPM, halo_h, halo_f, halo_top, best, bi, bj), None
+            if want_stats:
+                nsc = jnp.stack([
+                    ccf[3], ccf[4], ccf[5], ccf[6], ccf[7], ccf[8],
+                    ccf[9][None, :] * jnp.ones((Qc, B), I32),
+                    ccf[10][None, :] * jnp.ones((Qc, B), I32),
+                    ccf[11][None, :] * jnp.ones((Qc, B), I32)])
+                halo_sc = jax.lax.ppermute(
+                    jnp.where(active, nsc, halo_sc), axis, perm)
+            return (dHlast, dPM, dstats, halo_h, halo_f, halo_sc, halo_top,
+                    best, bi, bj, bstats), None
 
         carry0 = (
             jnp.zeros((C, B), I32), jnp.zeros((C, B), I32),
+            jnp.zeros((C, 6, B), I32),
             jnp.zeros((Qc, B), I32), jnp.zeros((Qc, B), I32),
+            jnp.zeros((9 if want_stats else 1, Qc, B), I32),
             jnp.zeros((B,), I32),
             jnp.full((B,), neg), jnp.full((B,), I32(Qp)),
             jnp.full((B,), I32(Rp)),
+            jnp.zeros((3, B), I32),
         )
         carry, _ = jax.lax.scan(
             superstep, carry0, jnp.arange(S + D - 1, dtype=I32))
-        best, bi, bj = carry[5], carry[6], carry[7]
+        best, bi, bj, bstats = carry[7], carry[8], carry[9], carry[10]
         # Combine candidates across devices: max score, then min (i, j).
-        allb = jax.lax.all_gather(jnp.stack([best, bi, bj]), axis)  # (D,3,B)
+        allb = jax.lax.all_gather(
+            jnp.stack([best, bi, bj, bstats[0], bstats[1], bstats[2]]),
+            axis)                                               # (D, 6, B)
         gb = allb[:, 0, :].max(axis=0)
         is_max = allb[:, 0, :] == gb[None, :]
         gi = jnp.where(is_max, allb[:, 1, :], I32(Qp)).min(axis=0)
         gj = jnp.where(is_max & (allb[:, 1, :] == gi[None, :]),
                        allb[:, 2, :], I32(Rp)).min(axis=0)
-        return gb, gi, gj
+        win = is_max & (allb[:, 1, :] == gi[None, :]) & \
+            (allb[:, 2, :] == gj[None, :])
+        gm = jnp.where(win, allb[:, 3, :], 0).max(axis=0)
+        gs = jnp.where(win, allb[:, 4, :], 0).max(axis=0)
+        gl = jnp.where(win, allb[:, 5, :], 0).max(axis=0)
+        return gb, gi, gj, gm, gs, gl
 
     spec_rep = P()
     fn = _shard_map(
         device_fn, mesh,
-        in_specs=(spec_rep, P(axis), spec_rep, spec_rep),
-        out_specs=(spec_rep, spec_rep, spec_rep),
+        in_specs=(spec_rep, P(axis), spec_rep, spec_rep, spec_rep),
+        out_specs=(spec_rep,) * 6,
     )
-    best, bi, bj = fn(
+    best, bi, bj, bm, bs, bl = fn(
         jnp.asarray(profile, I32), jnp.asarray(ridx, I32),
-        jnp.asarray(qlen, I32), jnp.asarray(rlen, I32))
+        jnp.asarray(qlen, I32), jnp.asarray(rlen, I32),
+        jnp.asarray(qidx, I32))
 
     if mode == "nw":
-        return {"score": best, "end_query": qlen - 1, "end_ref": rlen - 1}
+        out = {"score": best, "end_query": qlen - 1, "end_ref": rlen - 1}
+        if want_stats:
+            out.update(matches=bm, similar=bs, length=bl)
+        return out
     empty = best <= 0 if local else jnp.zeros_like(best, bool)
-    return {
+    out = {
         "score": jnp.where(empty, 0, best) if local else best,
         "end_query": jnp.where(empty, 0, bi),
         "end_ref": jnp.where(empty, 0, bj),
     }
+    if want_stats:
+        out["matches"] = jnp.where(empty, 0, bm)
+        out["similar"] = jnp.where(empty, 0, bs)
+        out["length"] = jnp.where(empty, 0, bl)
+    return out

@@ -81,3 +81,27 @@ def test_seqpar_matches_single_device_kernel():
         outputs="score", width="32")
     np.testing.assert_array_equal(np.asarray(out["score"]),
                                   np.asarray(ref["score"]))
+
+
+@pytest.mark.parametrize("mode,free", [
+    ("sw", (True, True, True, True)),
+    ("nw", (False, False, False, False)),
+    ("sg", (True, False, False, True)),
+])
+def test_seqpar_stats_vs_golden(mode, free):
+    # stats accumulators across device and chunk boundaries (halo stats
+    # columns + payload-carrying prefix seeds)
+    m, pairs, prof, ridx, qlen, rlen = PROBLEM
+    qidx = np.full((prof.shape[0], prof.shape[2]), -1, np.int32)
+    for b, (q, _) in enumerate(pairs):
+        qidx[:len(q), b] = m.encode(q)
+    out = seqpar_align(
+        prof, ridx, qlen, rlen, qidx, open_=5, ext=1, mesh=MESH,
+        mode=mode, free=free, q_chunk=32, outputs="stats")
+    for b, (q, r) in enumerate(pairs):
+        g = golden.align_seqs(q, r, m, 5, 1, mode,
+                              free if mode == "sg" else None)
+        assert int(out["score"][b]) == g.score, (mode, free, b)
+        assert int(out["matches"][b]) == g.matches, (mode, free, b)
+        assert int(out["similar"][b]) == g.similar, (mode, free, b)
+        assert int(out["length"][b]) == g.length, (mode, free, b)
