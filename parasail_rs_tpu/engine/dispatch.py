@@ -214,7 +214,7 @@ def execute(
 
     kernel_width = {"64": "32"}.get(width, width)
     with profiling.trace_region(f"pt.execute.{mode}.{outputs}"):
-        if (outputs in ("score", "stats")
+        if (outputs in ("score", "stats", "trace")
                 and not _use_pallas(batch, outputs, gap_open, gap_extend)
                 and _use_streaming(batch, outputs, gap_open, gap_extend)):
             out = _execute_pallas_streamed(
@@ -353,6 +353,11 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
         return False
     if not scan_fits(batch.qp, STREAM_SEG, outputs):
         return False
+    if outputs == "trace":
+        # the assembled host flag plane must stay within reason
+        Bpad = (batch.size + 127) // 128 * 128
+        if Bpad * batch.qp * batch.ridx.shape[1] > 4 << 30:
+            return False
     if os.environ.get("PT_FORCE_PALLAS") == "1":
         return True
     import jax
@@ -397,6 +402,7 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
                        ((0, 0), (0, nseg * STREAM_SEG - Rp)))
     state = None
     out = None
+    trace_segs = []
     for si in range(nseg):
         out, state = scan_score_segment(
             prof, ridx[:, si * STREAM_SEG:(si + 1) * STREAM_SEG],
@@ -407,7 +413,14 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
             col_offset=np.int32(si * STREAM_SEG), resume=si > 0,
             interpret=jax.default_backend() != "tpu",
         )
-    return {k: np.asarray(v)[:B] for k, v in out.items()}
+        if outputs == "trace":
+            trace_segs.append(np.asarray(out.pop("trace_table_seg"))[:B])
+    res = {k: np.asarray(v)[:B] for k, v in out.items()}
+    if outputs == "trace":
+        Rp_true = batch.ridx.shape[1]
+        res["trace_table"] = np.concatenate(
+            trace_segs, axis=2)[:, :, :Rp_true]
+    return res
 
 
 def _execute_pallas_or_fallback(batch, **kw):

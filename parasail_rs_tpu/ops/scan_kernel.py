@@ -806,6 +806,7 @@ def scan_score_segment(
     output class.  Returns (out, new_state).
     """
     want_stats = outputs == "stats"
+    want_trace = outputs == "trace"
     _, Qp, A = profile.shape
     B, Rseg = ridx_seg.shape
     assert B % LANES == 0
@@ -823,7 +824,8 @@ def scan_score_segment(
                       jnp.asarray(0, I32), jnp.asarray(col_offset, I32)])
 
     kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rseg, Qp,
-                          want_stats=want_stats, resume=resume, stream=True)
+                          want_stats=want_stats, want_trace=want_trace,
+                          resume=resume, stream=True)
 
     inputs = [gaps, qlen_b, rlen_b, scol]
     in_specs = [
@@ -869,7 +871,14 @@ def scan_score_segment(
         jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32),      # F boundary
         jax.ShapeDtypeStruct((nb, nq, TROWS, LANES), I32),   # diag carry
     ] + [jax.ShapeDtypeStruct((nb, nq, Qc, LANES), I32)] * nstate
-    out_specs = [acc_spec, chunk_spec, chunk_spec, carry_spec] +         [chunk_spec] * nstate
+    out_specs = [acc_spec, chunk_spec, chunk_spec, carry_spec] + \
+        [chunk_spec] * nstate
+    if want_trace:
+        out_shape.append(
+            jax.ShapeDtypeStruct((nb, Rseg, Qp, LANES), jnp.int8))
+        out_specs.append(
+            pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
+                         memory_space=pltpu.VMEM))
     Rpad = (Rseg + 7) // 8 * 8
     scratch = [
         pltpu.VMEM((Qc, LANES), I32),      # hprev
@@ -881,6 +890,8 @@ def scan_score_segment(
     if nq > 1:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),
                     pltpu.VMEM((Rpad, LANES), I32)]
+        if want_trace:
+            scratch.append(pltpu.VMEM((Rpad, LANES), I32))   # dE
         if want_stats:
             scratch += [pltpu.VMEM((Rpad, LANES), I32) for _ in range(6)]
     scratch.append(pltpu.VMEM((8, LANES), I32))
@@ -932,4 +943,9 @@ def scan_score_segment(
             bs = jnp.where(empty, 0, bs)
             bl = jnp.where(empty, 0, bl)
         out["matches"], out["similar"], out["length"] = bm, bs, bl
+    if want_trace:
+        # this segment's flag plane, (B, Qp, Rseg); the engine
+        # concatenates segments along the reference axis
+        out["trace_table_seg"] = (
+            res[4 + nstate].transpose(0, 3, 2, 1).reshape(B, Qp, Rseg))
     return out, new_state

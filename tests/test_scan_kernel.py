@@ -439,3 +439,31 @@ def test_segment_streaming_stats():
               "length"):
         np.testing.assert_array_equal(
             np.asarray(out[k]), np.asarray(ref[k]), err_msg=k)
+
+
+def test_segment_streaming_trace_and_engine():
+    # streamed trace planes, engine-assembled, feed the normal CIGAR walk
+    from parasail_rs_tpu.engine import Aligner, dispatch as disp
+    from parasail_rs_tpu.golden import model as golden
+
+    rng = np.random.default_rng(71)
+    m = Matrix.create(b"ACGT", 2, -3)
+    qs = [rng.choice(list(b"ACGT"), size=30).astype("uint8").tobytes()
+          for _ in range(3)]
+    rs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(300, 500)).astype("uint8").tobytes()
+          for _ in range(3)]
+    aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1).local()
+               .use_trace().build())
+    batch, qlens, rlens = aligner._pack(qs, rs)
+    import unittest.mock as mock
+    with mock.patch.object(disp, "STREAM_SEG", 128):
+        out = disp._execute_pallas_streamed(
+            batch, gap_open=4, gap_extend=1, mode="sw", free=(True,) * 4,
+            width="sat", outputs="trace")
+    for i, (q, r) in enumerate(zip(qs, rs)):
+        g = golden.align_seqs(q, r, m, 4, 1, "sw")
+        assert int(out["score"][i]) == g.score
+        np.testing.assert_array_equal(
+            out["trace_table"][i, :len(q), :len(r)], g.trace_table,
+            err_msg=str(i))
