@@ -467,3 +467,29 @@ def test_segment_streaming_trace_and_engine():
         np.testing.assert_array_equal(
             out["trace_table"][i, :len(q), :len(r)], g.trace_table,
             err_msg=str(i))
+
+
+def test_engine_streamed_stats():
+    from parasail_rs_tpu.engine import Aligner, dispatch as disp
+    from parasail_rs_tpu.golden import model as golden
+    import unittest.mock as mock
+
+    rng = np.random.default_rng(73)
+    m = Matrix.create(b"ACGT", 2, -3)
+    qs = [rng.choice(list(b"ACGT"), size=35).astype("uint8").tobytes()
+          for _ in range(3)]
+    rs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(300, 500)).astype("uint8").tobytes()
+          for _ in range(3)]
+    aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1).local()
+               .use_stats().build())
+    batch, qlens, rlens = aligner._pack(qs, rs)
+    with mock.patch.object(disp, "STREAM_SEG", 128):
+        out = disp._execute_pallas_streamed(
+            batch, gap_open=4, gap_extend=1, mode="sw", free=(True,) * 4,
+            width="sat", outputs="stats")
+    for i, (q, r) in enumerate(zip(qs, rs)):
+        g = golden.align_seqs(q, r, m, 4, 1, "sw")
+        got = (int(out["score"][i]), int(out["matches"][i]),
+               int(out["similar"][i]), int(out["length"][i]))
+        assert got == (g.score, g.matches, g.similar, g.length), (i, got)
