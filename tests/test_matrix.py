@@ -164,3 +164,29 @@ def test_scores_for_square_and_pssm():
     p = m.to_pssm(b"AC")
     sp = p.scores_for(p.mapper[np.frombuffer(b"AC", dtype=np.uint8)], r)
     assert np.array_equal(sp, s)
+
+
+def test_alignment_with_fixture_matrices(fixtures_dir):
+    # the mandated golden inputs (reference tests/square.txt, pssm.txt)
+    # driving actual alignments, checked against the golden oracle
+    import os
+
+    from parasail_rs_tpu.engine import Aligner
+    from parasail_rs_tpu.golden import model as golden
+
+    sq = Matrix.from_file(os.path.join(fixtures_dir, "square.txt"))
+    aligner = (Aligner.new().matrix(sq).gap_open(3).gap_extend(1)
+               .local().use_stats().build())
+    q, r = b"ACGTRYKM", b"ACGTTRYKM"
+    res = aligner.align(q, r)
+    g = golden.align_seqs(q, r, sq, 3, 1, "sw")
+    assert res.get_score() == g.score
+    assert res.get_matches() == g.matches
+
+    pssm = Matrix.from_file(os.path.join(fixtures_dir, "pssm.txt"))
+    aligner = Aligner.new().matrix(pssm).gap_open(2).gap_extend(1).build()
+    q = b"A" * pssm.length
+    r = b"ACGTACGTAC"[:pssm.length]
+    res = aligner.align(q, r)
+    g = golden.align_seqs(q, r, pssm, 2, 1, "nw")
+    assert res.get_score() == g.score
