@@ -77,3 +77,45 @@ def test_single_char_and_empty_edge_cases():
     res = aligner.align(b"A", b"C")
     assert res.get_score() == 0  # empty local alignment
     assert res.get_end_query() == 0 and res.get_end_ref() == 0
+
+
+def test_cigar_score_reconstruction():
+    # Walking the emitted CIGAR and re-scoring it from the matrix and
+    # penalties must reproduce the kernel's score exactly — a
+    # self-consistency invariant tying trace tables, CIGARs, and scores.
+    rng = np.random.default_rng(97)
+    m = Matrix.from_name("blosum62")
+    for mode_setter, mode in MODES:
+        builder = (Aligner.new().matrix(m).gap_open(10).gap_extend(2)
+                   .use_trace())
+        getattr(builder, mode_setter)()
+        aligner = builder.build()
+        alpha = list(b"ARNDCQEGHILKMFPSTWYV")
+        for _ in range(15):
+            q = rng.choice(alpha,
+                           size=rng.integers(2, 45)).astype("uint8").tobytes()
+            r = rng.choice(alpha,
+                           size=rng.integers(2, 45)).astype("uint8").tobytes()
+            res = aligner.align(q, r)
+            walk = res._walk(q, r)
+            qi, ri = walk.beg_query, walk.beg_ref
+            score = 0
+            for n, op in walk.ops:
+                if op in ("=", "X"):
+                    for _ in range(n):
+                        score += int(m.scores_for(
+                            m.encode(q[qi:qi + 1]),
+                            m.encode(r[ri:ri + 1]))[0, 0])
+                        qi += 1
+                        ri += 1
+                else:
+                    score += -(10 + 2 * (n - 1))
+                    if op == "I":
+                        qi += n
+                    else:
+                        ri += n
+            # free-end overhang is excluded from the walk by
+            # construction, so the re-scored ops equal the kernel score
+            # in every mode
+            assert score == res.get_score(), (mode, q, r, score,
+                                              res.get_score())
