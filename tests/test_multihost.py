@@ -58,6 +58,18 @@ for b in (0, 5, B - 1):
     g = golden.align_seqs(*pairs[b], m, 11, 1, "sw")
     assert out["score"][b] == g.score, (b, out["score"][b], g.score)
     assert out["matches"][b] == g.matches
+
+# The production TPU route: the same Pallas scan kernel the single-chip
+# engine dispatches, sharded over the global mesh (interpret-mode here).
+# Each host's half is padded internally to the 128-lane granularity.
+out_scan = multihost.align_global(
+    mesh,
+    batch.profile[sl], batch.qidx[sl], batch.ridx[sl],
+    batch.qlen[sl], batch.rlen[sl],
+    open_=11, ext=1, mode="sw", free=(True,)*4, outputs="stats",
+    route="scan")
+for k in ("score", "matches", "similar", "length"):
+    assert (out_scan[k] == out[k]).all(), (k, out_scan[k], out[k])
 print(f"proc {pid} OK")
 """
 
