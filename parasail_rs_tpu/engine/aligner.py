@@ -210,6 +210,23 @@ class Aligner:
         self.profile = profile
         self.bandwidth = bandwidth
         self.vec_strategy = key.strategy
+        # Tally of batches that fell off the one-shot Pallas route, keyed
+        # (route, reason) — the visible form of the ~1000x TPU perf cliff.
+        from collections import Counter
+
+        self.route_counter: Counter = Counter()
+        if matrix.approximate:
+            log.warning(
+                "Aligner built with synthesised builtin matrix %r — scores "
+                "are NOT bit-exact vs parasail; register exact NCBI data "
+                "(matrices.register_ncbi_dir / PT_NCBI_MATRICES) for "
+                "parity", matrix.name)
+
+    @property
+    def matrix_approximate(self) -> bool:
+        """True when the configured matrix is a synthesised builtin rather
+        than verbatim NCBI data (see matrices.ncbi)."""
+        return bool(self.matrix.approximate)
 
     @staticmethod
     def new() -> AlignerBuilder:
@@ -271,6 +288,8 @@ class Aligner:
             gap_open=self.gap_open, gap_extend=self.gap_extend,
             mode=self.key.mode, free=self.key.free,
             outputs=self.key.outputs, width=self.key.width,
+            on_fallback=lambda route, reason:
+                self.route_counter.update([(route, reason)]),
         )
         return [
             self._make_alignment(out, b, qlens[b], rlens[b])

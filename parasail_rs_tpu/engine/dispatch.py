@@ -15,13 +15,23 @@ single pass while the kernel *detects* which pairs would have overflowed
 
 from __future__ import annotations
 
+import logging
 import os
+from collections import Counter
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..ops.wavefront import wavefront_align
 from ..utils.shapes import length_bucket
+
+log = logging.getLogger("parasail_rs_tpu")
+
+# Global tally of dispatch routing decisions, keyed (route, reason).
+# Per-aligner tallies live on Aligner.route_counter; this one catches
+# direct execute() callers too.  A batch landing off the Pallas route is
+# a ~1000x perf cliff on TPU — it should never be silent.
+ROUTE_COUNTS: Counter = Counter()
 
 
 @dataclass
@@ -202,6 +212,7 @@ def execute(
     outputs: str,
     width: str,
     fetch: bool = True,
+    on_fallback=None,
 ) -> dict[str, np.ndarray]:
     """Run the wavefront kernel over a batch; fetch host numpy results.
 
@@ -209,18 +220,29 @@ def execute(
     the int32 kernel (alignment scores beyond int32 would require sequences
     and matrices far outside parasail's own operating range; the knob is
     accepted and reported for parity).
+
+    ``on_fallback(route, reason)`` is invoked whenever the batch does not
+    take the one-shot Pallas route (it lands on "stream" or "wavefront");
+    the same event is logged and tallied in :data:`ROUTE_COUNTS`.
     """
     from ..utils import profiling
 
     kernel_width = {"64": "32"}.get(width, width)
     with profiling.trace_region(f"pt.execute.{mode}.{outputs}"):
-        if (outputs in ("score", "stats", "trace")
-                and not _use_pallas(batch, outputs, gap_open, gap_extend)
-                and _use_streaming(batch, outputs, gap_open, gap_extend)):
-            out = _execute_pallas_streamed(
+        route, reason = plan_route(batch, outputs, gap_open, gap_extend)
+        ROUTE_COUNTS[(route, reason)] += 1
+        if route != "pallas":
+            log.info(
+                "batch (B=%d, Qp=%d, Rp=%d, %s/%s) routed to %s: %s",
+                batch.size, batch.qp, batch.ridx.shape[1], mode, outputs,
+                route, reason)
+            if on_fallback is not None:
+                on_fallback(route, reason)
+        if route == "stream":
+            out = _execute_streamed_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
                 mode=mode, free=free, width=kernel_width, outputs=outputs)
-        elif _use_pallas(batch, outputs, gap_open, gap_extend):
+        elif route == "pallas":
             out = _execute_pallas_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
                 mode=mode, free=free, width=kernel_width, outputs=outputs,
@@ -259,43 +281,66 @@ def _device_profile(profile, table, qidx):
     return build(jnp.asarray(table, jnp.int32), jnp.asarray(qidx))
 
 
-def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
-                gap_extend: int) -> bool:
-    """Route score-only work to the Pallas prefix-scan kernel.
+def _pallas_gate(batch: PairBatch, outputs: str, gap_open: int,
+                 gap_extend: int) -> tuple[bool, str]:
+    """(eligible?, reason-if-not) for the one-shot Pallas scan route.
 
-    Requirements (see ops/scan_kernel.py): score/stats/trace outputs,
-    open >= ext (scan exactness; stats need strict > — gap-restart value
-    TIES are possible at open == ext and golden then takes the restart's
-    accumulators), int8-safe substitution scores, and a TPU backend
-    (or PT_FORCE_PALLAS=1: runs interpreted — test use).
+    Requirements (see ops/scan_kernel.py): open >= ext (scan exactness;
+    stats need strict > — gap-restart value TIES are possible at
+    open == ext and golden then takes the restart's accumulators),
+    int8-safe substitution scores, and a TPU backend (or
+    PT_FORCE_PALLAS=1: runs interpreted — test use).
     """
     if gap_open < gap_extend:
-        return False
+        return False, "gap_open < gap_extend (scan-formulation exactness)"
     if outputs in ("stats", "stats_table", "stats_rowcol") and \
             gap_open == gap_extend:
-        return False
+        return False, "gap_open == gap_extend with stats (tie semantics)"
     if batch.score_values.min() < -128 or batch.score_values.max() > 127:
-        return False
+        return False, "substitution scores exceed int8 range"
     # Memory gates.  VMEM feasibility (tile plan incl. chunked-query
     # down-state) is computed by the kernel module; HBM is bounded by the
     # (B, Rp, Qp) int8 substitution tensor plus output planes for
-    # trace/table.  Beyond these the streaming XLA wavefront takes over.
+    # trace/table.  Beyond these the streamed scan kernel takes over.
     from ..ops.scan_kernel import scan_fits
 
     Qp, Rp = batch.qp, batch.ridx.shape[1]
     if not scan_fits(Qp, Rp, outputs):
-        return False
+        return False, f"shape ({Qp}x{Rp}, {outputs}) exceeds the VMEM plan"
     Bpad = (batch.size + 127) // 128 * 128
     scol_bytes = Bpad * Qp * Rp
     hbm_factor = {"trace": 2, "table": 5, "stats_table": 17}.get(outputs, 1)
     if scol_bytes * hbm_factor > 2 << 30:
-        return False
-    forced = os.environ.get("PT_FORCE_PALLAS") == "1"
-    if forced:
-        return True
+        return False, "substitution/output tensors exceed the HBM budget"
+    if os.environ.get("PT_FORCE_PALLAS") == "1":
+        return True, ""
     import jax
 
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False, f"backend is {jax.default_backend()}, not tpu"
+    return True, ""
+
+
+def _use_pallas(batch: PairBatch, outputs: str, gap_open: int,
+                gap_extend: int) -> bool:
+    return _pallas_gate(batch, outputs, gap_open, gap_extend)[0]
+
+
+def plan_route(batch: PairBatch, outputs: str, gap_open: int,
+               gap_extend: int) -> tuple[str, str]:
+    """Pick the execution route for a batch.
+
+    Returns ("pallas" | "stream" | "wavefront", reason).  The reason is
+    empty for "pallas" and explains what disqualified the faster
+    route(s) otherwise.
+    """
+    ok, reason = _pallas_gate(batch, outputs, gap_open, gap_extend)
+    if ok:
+        return "pallas", ""
+    if outputs in ("score", "stats", "trace") and \
+            _use_streaming(batch, outputs, gap_open, gap_extend):
+        return "stream", reason
+    return "wavefront", reason
 
 
 def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
@@ -353,9 +398,14 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
         return False
     if not scan_fits(batch.qp, STREAM_SEG, outputs):
         return False
+    # Per-segment substitution tensor (Bpad, Qp, STREAM_SEG) int8 must fit
+    # the same HBM budget as the one-shot route's scol gate — a 2k-pair x
+    # 1k-query batch would otherwise allocate gigabytes per segment.
+    Bpad = (batch.size + 127) // 128 * 128
+    if Bpad * batch.qp * STREAM_SEG > 2 << 30:
+        return False
     if outputs == "trace":
         # the assembled host flag plane must stay within reason
-        Bpad = (batch.size + 127) // 128 * 128
         if Bpad * batch.qp * batch.ridx.shape[1] > 4 << 30:
             return False
     if os.environ.get("PT_FORCE_PALLAS") == "1":
@@ -421,6 +471,25 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
         res["trace_table"] = np.concatenate(
             trace_segs, axis=2)[:, :, :Rp_true]
     return res
+
+
+def _execute_streamed_or_fallback(batch, **kw):
+    """Run the streamed-segment scan route; on a device failure fall back
+    to the XLA wavefront (same safety net as the one-shot route)."""
+    try:
+        return _execute_pallas_streamed(batch, **kw)
+    except Exception as e:  # pragma: no cover - depends on backend
+        log.warning(
+            "streamed pallas route failed (%s: %s); falling back to XLA "
+            "wavefront", type(e).__name__, e)
+        out = wavefront_align(
+            _device_profile(batch.profile, batch.table, batch.qidx),
+            batch.qidx, batch.ridx, batch.qlen, batch.rlen,
+            open_=np.int32(kw["gap_open"]), ext=np.int32(kw["gap_extend"]),
+            mode=kw["mode"], free=kw["free"], outputs=kw["outputs"],
+            width=kw["width"],
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
 
 
 def _execute_pallas_or_fallback(batch, **kw):

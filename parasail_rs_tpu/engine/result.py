@@ -151,6 +151,13 @@ class Alignment:
     free: tuple = (False, False, False, False)
     mode: str = "nw"
 
+    @property
+    def matrix_approximate(self) -> bool:
+        """True when this result was scored with a synthesised builtin
+        matrix rather than verbatim NCBI data (TPU-native extra; see
+        matrices.ncbi for how to register exact tables)."""
+        return bool(getattr(self.matrix, "approximate", False))
+
     # -- score / ends (src/alignment/mod.rs:64-76) ---------------------------
     def get_score(self) -> int:
         return int(self.fields["score"])

@@ -2,6 +2,7 @@
 
 from .matrix import PSSM, SQUARE, Matrix
 from .data import BLOSUM_NUMBERS, PAM_NUMBERS, PROTEIN_ALPHABET
+from .ncbi import register_exact, register_ncbi_dir
 
 __all__ = [
     "Matrix",
@@ -10,4 +11,6 @@ __all__ = [
     "BLOSUM_NUMBERS",
     "PAM_NUMBERS",
     "PROTEIN_ALPHABET",
+    "register_exact",
+    "register_ncbi_dir",
 ]

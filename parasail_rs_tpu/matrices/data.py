@@ -15,9 +15,17 @@ and synthesises the remaining family members deterministically:
   (half-bits for N <= 170, third-bits above).
 
 Synthesised matrices are flagged ``approximate=True`` and a warning is
-logged on lookup, so bit-parity-sensitive users can load exact data with
-``Matrix.from_file`` instead.  All matrices use the NCBI 24-letter protein
-alphabet ``ARNDCQEGHILKMFPSTWYVBZX*``.
+logged on lookup.  Exact data for the full family can be registered at
+runtime from the public NCBI files — see :mod:`.ncbi`
+(``register_ncbi_dir`` / ``PT_NCBI_MATRICES`` / the vendored
+``ncbi_data/`` directory); registered names resolve to the verbatim
+table with ``approximate=False`` and take priority over synthesis.
+This build environment has no network access and no copy of the NCBI
+data, so the non-anchor tables are NOT vendored: embedding
+unverifiable from-memory reconstructions and marking them exact would
+risk silently breaching the bit-exactness contract, which is worse
+than a flagged approximation.  All matrices use the NCBI 24-letter
+protein alphabet ``ARNDCQEGHILKMFPSTWYVBZX*``.
 """
 
 from __future__ import annotations
@@ -210,6 +218,26 @@ _EMBEDDED_BLOSUM = {45: _BLOSUM45, 50: _BLOSUM50, 62: _BLOSUM62, 80: _BLOSUM80, 
 BLOSUM_NUMBERS = (30, 35, 40, 45, 50, 55, 60, 62, 65, 70, 75, 80, 85, 90, 95, 100)
 PAM_NUMBERS = tuple(range(10, 501, 10))
 
+# Exact tables registered at runtime (matrices.ncbi) override synthesis.
+EXACT_OVERRIDES: dict[str, np.ndarray] = {}
+
+
+def known_builtin(name: str) -> str | None:
+    """Canonical builtin name if ``name`` is in the reference's lookup
+    space (src/matrix/mod.rs:46-73), else None."""
+    name = name.lower().strip()
+    if name.startswith("blosum"):
+        try:
+            return name if int(name[6:]) in BLOSUM_NUMBERS else None
+        except ValueError:
+            return None
+    if name.startswith("pam"):
+        try:
+            return name if int(name[3:]) in PAM_NUMBERS else None
+        except ValueError:
+            return None
+    return None
+
 
 def _parse(text: str) -> np.ndarray:
     rows = [[int(v) for v in line.split()] for line in text.strip().splitlines()]
@@ -308,26 +336,17 @@ def lookup_builtin(name: str) -> tuple[np.ndarray, bool] | None:
     Returns None for unknown names.
     """
     name = name.lower().strip()
-    data = None
-    approx = False
-    if name.startswith("blosum"):
-        try:
-            n = int(name[6:])
-        except ValueError:
-            return None
-        if n not in BLOSUM_NUMBERS:
-            return None
-        data, approx = _blosum(n)
-    elif name.startswith("pam"):
-        try:
-            n = int(name[3:])
-        except ValueError:
-            return None
-        if n not in PAM_NUMBERS:
-            return None
-        data, approx = _pam(n)
-    if data is None:
+    if known_builtin(name) is None:
         return None
+    from . import ncbi as _ncbi  # late import: ncbi imports this module
+
+    _ncbi.autoload()
+    if name in EXACT_OVERRIDES:
+        return EXACT_OVERRIDES[name].copy(), False
+    if name.startswith("blosum"):
+        data, approx = _blosum(int(name[6:]))
+    else:
+        data, approx = _pam(int(name[3:]))
     if approx:
         log.warning(
             "builtin matrix %r is synthesised (interpolated/derived), not the "

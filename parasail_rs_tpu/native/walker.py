@@ -21,23 +21,51 @@ from ..constants import CIGAR_OPS
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ptwalk.cc")
-_LIB_PATH = os.path.join(_HERE, f"libptwalk-{sys.implementation.cache_tag}.so")
+_LIB_NAME = f"libptwalk-{sys.implementation.cache_tag}.so"
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
+def _lib_dir() -> str:
+    """Build-output directory: PT_WALKER_CACHE, else a user cache dir,
+    else the package dir (read-only installs fall through to the next)."""
+    env = os.environ.get("PT_WALKER_CACHE")
+    if env:
+        return env
+    xdg = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(xdg, "parasail_rs_tpu")
+
+
 def _build() -> str | None:
+    """Compile the walker to a temp file and os.rename() into place —
+    atomic, so a concurrent process can never dlopen a partial .so."""
     cxx = os.environ.get("CXX", "g++")
-    base = [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
-    for extra in (["-fopenmp"], []):   # threads when available
+    for out_dir in (_lib_dir(), _HERE):
+        final = os.path.join(out_dir, _LIB_NAME)
+        if os.path.exists(final):
+            return final
+        tmp = final + f".tmp{os.getpid()}"
         try:
-            subprocess.run(base + extra, check=True, capture_output=True,
-                           timeout=120)
-            return _LIB_PATH
-        except Exception:
+            os.makedirs(out_dir, exist_ok=True)
+        except OSError:
             continue
+        for extra in (["-fopenmp"], []):   # threads when available
+            try:
+                subprocess.run(
+                    [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+                     "-o", tmp] + extra,
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, final)
+                return final
+            except Exception:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                continue
     return None
 
 
@@ -47,7 +75,7 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        path = _build()
         if path is None:
             return None
         try:
