@@ -414,27 +414,41 @@ class Aligner:
 
     def ssw_batch(self, queries, references) -> list[SSWResult]:
         """Batched SSW (TPU-native extra): one trace-kernel launch + one
-        batched native CIGAR walk for the whole set."""
+        batched native CIGAR walk for the whole set.
+
+        With a profile set and ``queries=None`` the profile's precomputed
+        tensors drive the batch directly (the amortization
+        ``parasail_ssw_init`` exists for, src/profile/mod.rs:337-358) and
+        its ``score_size`` knob is honored: 0 = 8-bit mode — a pair whose
+        8-bit lanes would saturate reports the capped ``score1 = 255``
+        exactly as the SSW library does; 1/2 = 16-bit (or 8-then-16
+        retry), capping at 65535.  ``parasail_ssw`` without a profile
+        behaves as score_size 2 (src/alignment/mod.rs:507-544).
+        """
         from ..constants import cigar_encode
         from ..golden.model import walk_trace
         from ..native import walker
 
         refs = [_as_bytes(r) for r in references]
-        if queries is None:
+        use_profile = queries is None
+        if use_profile:
             if self.profile.is_null:
                 raise QueryRequired(
                     "Query sequence is required for SSW alignment for now.")
             qs = [self.profile.query] * len(refs)
         else:
             qs = [_as_bytes(q) for q in queries]
+        score_size = self.profile.score_size if use_profile else None
         sw = Aligner(
             key=KernelKey(mode="sw", free=(True,) * 4, outputs="trace",
-                          strategy="striped", profile=False, width="sat"),
+                          strategy="striped", profile=use_profile,
+                          width="sat"),
             matrix=self.matrix, gap_open=self.gap_open,
-            gap_extend=self.gap_extend, profile=Profile.default(),
+            gap_extend=self.gap_extend,
+            profile=self.profile if use_profile else Profile.default(),
             bandwidth=None,
         )
-        alns = sw.align_batch(qs, refs)
+        alns = sw.align_batch(None if use_profile else qs, refs)
         traces = [a.fields["trace_table"] for a in alns]
         end_qs = [a.get_end_query() for a in alns]
         end_rs = [a.get_end_ref() for a in alns]
@@ -458,8 +472,16 @@ class Aligner:
                     else:
                         runs.append(cigar_encode(n, op))
                 packed = np.asarray(runs, dtype=np.uint32)
+            if score_size == 0 and bool(aln.fields.get("promoted", False)):
+                # 8-bit-only mode: a saturated 8-bit lane reports the
+                # SSW-library cap, not the exact wider score
+                score1 = 255
+            elif score_size == 0:
+                score1 = min(aln.get_score(), 255)
+            else:
+                score1 = min(aln.get_score(), 0xFFFF)
             results.append(SSWResult(
-                score1=min(aln.get_score(), 0xFFFF),
+                score1=score1,
                 ref_begin1=br,
                 ref_end1=end_rs[k],
                 read_begin1=bq,

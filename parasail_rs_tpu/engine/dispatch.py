@@ -242,11 +242,19 @@ def execute(
             out = _execute_streamed_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
                 mode=mode, free=free, width=kernel_width, outputs=outputs)
+            if not fetch:
+                return PendingResult(device_out=out)
         elif route == "pallas":
-            out = _execute_pallas_or_fallback(
+            res = _execute_pallas_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
                 mode=mode, free=free, width=kernel_width, outputs=outputs,
+                fetch=fetch,
             )
+            if not fetch:
+                # async mode: dispatch is enqueued; the caller fetches
+                # via PendingResult.fetch() when it needs values
+                return res
+            out = res
         else:
             out = wavefront_align(
                 _device_profile(batch.profile, batch.table, batch.qidx),
@@ -254,31 +262,40 @@ def execute(
                 open_=np.int32(gap_open), ext=np.int32(gap_extend),
                 mode=mode, free=free, outputs=outputs, width=kernel_width,
             )
-        if not fetch:
-            # async mode: leave results on device (jax dispatch has already
-            # been enqueued); the caller fetches when it needs values
-            return dict(out)
+            if not fetch:
+                return PendingResult(device_out=dict(out))
         return {k: np.asarray(v) for k, v in out.items()}
+
+
+_PROFILE_JIT = None
 
 
 def _device_profile(profile, table, qidx):
     """Materialize the per-pair profile rows ON DEVICE when the batch
     carries only the square substitution table: one one-hot MXU matmul
-    replaces a (B, Qp, A) host tensor (hundreds of MB for big batches)."""
+    replaces a (B, Qp, A) host tensor (hundreds of MB for big batches).
+
+    The jitted builder is a module-level singleton — a per-call closure
+    would retrace on every batch (~800 ms through the dev tunnel),
+    dwarfing the kernel itself.
+    """
     if table is None:
         return profile
+    global _PROFILE_JIT
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def build(table, qidx):
-        oh = jax.nn.one_hot(jnp.clip(qidx, 0, table.shape[0] - 1),
-                            table.shape[0], dtype=jnp.float32)
-        return jnp.einsum(
-            "bqa,ac->bqc", oh, table.astype(jnp.float32),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+    if _PROFILE_JIT is None:
+        @jax.jit
+        def build(table, qidx):
+            oh = jax.nn.one_hot(jnp.clip(qidx, 0, table.shape[0] - 1),
+                                table.shape[0], dtype=jnp.float32)
+            return jnp.einsum(
+                "bqa,ac->bqc", oh, table.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
 
-    return build(jnp.asarray(table, jnp.int32), jnp.asarray(qidx))
+        _PROFILE_JIT = build
+    return _PROFILE_JIT(jnp.asarray(table, jnp.int32), jnp.asarray(qidx))
 
 
 def _pallas_gate(batch: PairBatch, outputs: str, gap_open: int,
@@ -343,9 +360,86 @@ def plan_route(batch: PairBatch, outputs: str, gap_open: int,
     return "wavefront", reason
 
 
+_SCAN_JIT_CACHE: dict = {}
+
+
+def _scan_exec_fn(table_path, stats, mode, free, width, outputs, banded,
+                  interpret):
+    """One jitted function covering the whole device path of a Pallas
+    dispatch: device-side profile construction (table path), the scan
+    kernel, and packing of the per-pair scalar outputs into a single
+    array so the host pays ONE fetch round-trip instead of one per
+    output.  Eagerly dispatching these ops one by one costs a tunnel
+    round-trip each (~100+ ms per batch on the dev TPU)."""
+    key = (table_path, stats, mode, free, width, outputs, banded, interpret)
+    if key in _SCAN_JIT_CACHE:
+        return _SCAN_JIT_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.scan_kernel import scan_score_align
+
+    def fn(prof_or_table, qidx, ridx, qlen, rlen, open_, ext, bandwidth):
+        if table_path:
+            table = prof_or_table
+            oh = jax.nn.one_hot(jnp.clip(qidx, 0, table.shape[0] - 1),
+                                table.shape[0], dtype=jnp.float32)
+            prof = jnp.einsum(
+                "bqa,ac->bqc", oh, table.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+        else:
+            prof = prof_or_table
+        out = scan_score_align(
+            prof, ridx, qlen, rlen, qidx if stats else None,
+            open_=open_, ext=ext, mode=mode, free=free, width=width,
+            outputs=outputs, banded=banded, bandwidth=bandwidth,
+            interpret=interpret)
+        scalars = {k: v for k, v in out.items() if v.ndim == 1}
+        big = {k: v for k, v in out.items() if v.ndim > 1}
+        names = tuple(sorted(scalars))
+        meta["names"] = names  # structure is static per key; set at trace
+        packed = jnp.stack([scalars[k].astype(jnp.int32) for k in names])
+        return packed, big
+
+    meta: dict = {"names": None}
+    jitted = jax.jit(fn)
+    _SCAN_JIT_CACHE[key] = (jitted, meta)
+    return jitted, meta
+
+
+class PendingResult:
+    """Device-side result of an asynchronous dispatch.
+
+    Holds jax arrays (dispatch already enqueued); :meth:`fetch` blocks on
+    the device and returns host numpy arrays.  The Pallas route keeps its
+    per-pair scalars packed in one array so fetch() pays a single
+    transfer round-trip.
+    """
+
+    def __init__(self, device_out=None, packed_form=None):
+        self._device_out = device_out          # dict of jax arrays
+        self._packed = packed_form             # (names, packed, big, B)
+
+    def fetch(self) -> dict[str, np.ndarray]:
+        if self._packed is not None:
+            names, packed, big, B = self._packed
+            return _unpack_scalars(names, np.asarray(packed), big, B)
+        return {k: np.asarray(v) for k, v in self._device_out.items()}
+
+
+def _unpack_scalars(names, packed, big, B):
+    bools = ("saturated", "promoted")
+    out = {k: (packed[i, :B] != 0 if k in bools else packed[i, :B])
+           for i, k in enumerate(names)}
+    for k, v in big.items():
+        out[k] = np.asarray(v)[:B]
+    return out
+
+
 def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
-                    outputs="score", banded=False, bandwidth=0):
-    from ..ops.scan_kernel import LANES, scan_score_align
+                    outputs="score", banded=False, bandwidth=0,
+                    fetch=True):
+    from ..ops.scan_kernel import LANES
     import jax
 
     B = batch.size
@@ -364,20 +458,19 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
 
     shared = batch.qidx.shape[0] == 1
     qidx = batch.qidx if shared else padb(batch.qidx)
-    prof = _device_profile(
-        None if batch.profile is None else
+    stats = outputs in ("stats", "stats_table", "stats_rowcol")
+    table_path = batch.table is not None
+    fn, meta = _scan_exec_fn(table_path, stats, mode, free, width, outputs,
+                             banded, jax.default_backend() != "tpu")
+    packed, big = fn(
+        batch.table if table_path else
         (batch.profile if shared else padb(batch.profile)),
-        batch.table, qidx)
-    out = scan_score_align(
-        prof, padb(batch.ridx),
-        padb(batch.qlen), padb(batch.rlen),
-        qidx if outputs in ("stats", "stats_table", "stats_rowcol") else None,
-        open_=np.int32(gap_open), ext=np.int32(gap_extend),
-        mode=mode, free=free, width=width, outputs=outputs,
-        banded=banded, bandwidth=np.int32(bandwidth or 0),
-        interpret=jax.default_backend() != "tpu",
-    )
-    return {k: np.asarray(v)[:B] for k, v in out.items()}
+        qidx, padb(batch.ridx), padb(batch.qlen), padb(batch.rlen),
+        np.int32(gap_open), np.int32(gap_extend), np.int32(bandwidth or 0))
+    names = meta["names"]
+    if not fetch:
+        return PendingResult(packed_form=(names, packed, big, B))
+    return _unpack_scalars(names, np.asarray(packed), big, B)
 
 
 STREAM_SEG = 2048      # reference columns per streamed segment
@@ -496,12 +589,10 @@ def _execute_pallas_or_fallback(batch, **kw):
     """Run the Pallas route; on a device-compile failure (e.g. a VMEM
     plan miscalibration on an unusual shape) fall back to the wavefront
     path rather than surfacing an internal error."""
-    import logging
-
     try:
         return _execute_pallas(batch, **kw)
     except Exception as e:  # pragma: no cover - depends on backend
-        logging.getLogger("parasail_rs_tpu").warning(
+        log.warning(
             "pallas route failed (%s: %s); falling back to XLA wavefront",
             type(e).__name__, e)
         out = wavefront_align(
@@ -512,6 +603,8 @@ def _execute_pallas_or_fallback(batch, **kw):
             width=kw["width"], banded=kw.get("banded", False),
             bandwidth=np.int32(kw.get("bandwidth") or 0),
         )
+        if not kw.get("fetch", True):
+            return PendingResult(device_out=dict(out))
         return {k: np.asarray(v) for k, v in out.items()}
 
 

@@ -4,19 +4,26 @@ The reference's serving story is one blocking FFI call per pair plus
 user-managed threads (SURVEY.md §2.3); the TPU-native story is a
 pipeline: submissions accumulate into length-binned buckets, each full
 bucket dispatches ONE kernel launch asynchronously (jax dispatch
-returns device futures immediately), and host packing of the next
-bucket overlaps device compute of the previous — the executor never
-blocks until a result is actually read.
+returns device futures immediately), and a background fetch thread
+resolves buckets as the device finishes them — host packing of the next
+bucket, device compute of the current one, and result fetch of the
+previous one all overlap.
 
     stream = StreamingAligner(aligner, flush_size=2048)
     handles = [stream.submit(q, r) for q, r in pairs]
-    stream.flush()
-    for h in handles:
+    for h in handles:          # resolves per bucket, in completion order
         h.result().get_score()
+
+``Handle.result()`` dispatches only the bucket holding that pair (if it
+has not filled yet) and blocks only on that bucket's completion — it
+never flushes or waits for the rest of the stream.  ``flush()`` drains
+everything (end-of-stream barrier).
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass, field
 
 from ..utils.shapes import length_bucket
@@ -31,15 +38,25 @@ class Handle:
     _seq: int
     _value: object = None
     _done: bool = False
+    _event: threading.Event = field(default_factory=threading.Event)
+    _bucket_key: tuple | None = None
+    _error: BaseException | None = None
 
     def done(self) -> bool:
         return self._done
 
-    def result(self):
-        """The pair's Alignment (flushes the stream if still pending)."""
+    def result(self, timeout: float | None = None):
+        """This pair's Alignment.
+
+        Dispatches the pair's own bucket if it is still accumulating,
+        then waits for that bucket alone — other buckets keep streaming.
+        """
         if not self._done:
-            self._stream.flush()
-        assert self._done, "flush did not resolve this handle"
+            self._stream._ensure_dispatched(self)
+            if not self._event.wait(timeout):
+                raise TimeoutError("alignment result not ready")
+        if self._error is not None:
+            raise self._error
         return self._value
 
 
@@ -60,8 +77,11 @@ class StreamingAligner:
     """Length-binned asynchronous batcher around an :class:`Aligner`.
 
     ``flush_size`` bounds pairs per kernel launch; ``max_cells`` bounds
-    DP cells per launch (memory/latency).  Thread-compatible with one
-    producer; results resolve in submission order per bucket.
+    DP cells per launch (memory/latency).  Kernel dispatch happens on
+    the submitting thread (keeping jax dispatch single-threaded); the
+    daemon fetch thread only blocks on device results and builds
+    Alignment objects.  Safe for one producer thread plus any number of
+    threads calling ``Handle.result()``.
     """
 
     def __init__(self, aligner, flush_size: int = 2048,
@@ -70,8 +90,14 @@ class StreamingAligner:
         self._flush_size = flush_size
         self._max_cells = max_cells
         self._buckets: dict[tuple[int, int], _Bucket] = {}
-        self._pending: list[tuple[object, list, list, list]] = []
+        self._lock = threading.RLock()
         self._seq = 0
+        self._inflight: list[threading.Event] = []
+        self._queue: queue.SimpleQueue = queue.SimpleQueue()
+        self._fetcher = threading.Thread(
+            target=self._fetch_loop, daemon=True,
+            name="parasail-stream-fetch")
+        self._fetcher.start()
 
     def submit(self, query, reference) -> Handle:
         """Queue one pair; dispatches a kernel when its bucket fills."""
@@ -80,47 +106,94 @@ class StreamingAligner:
             query = None
         qlen = a.profile.query_len if query is None else len(query)
         key = (length_bucket(qlen), length_bucket(len(reference)))
-        bucket = self._buckets.get(key)
-        if bucket is None:
-            bucket = self._buckets[key] = _Bucket(qp=key[0], rp=key[1])
-        h = Handle(self, self._seq)
-        self._seq += 1
-        bucket.queries.append(query)
-        bucket.references.append(reference)
-        bucket.handles.append(h)
-        cells = bucket.size * bucket.qp * bucket.rp
-        if bucket.size >= self._flush_size or cells >= self._max_cells:
-            self._dispatch(key)
+        with self._lock:
+            bucket = self._buckets.get(key)
+            if bucket is None:
+                bucket = self._buckets[key] = _Bucket(qp=key[0], rp=key[1])
+            h = Handle(self, self._seq, _bucket_key=key)
+            self._seq += 1
+            bucket.queries.append(query)
+            bucket.references.append(reference)
+            bucket.handles.append(h)
+            cells = bucket.size * bucket.qp * bucket.rp
+            if bucket.size >= self._flush_size or cells >= self._max_cells:
+                self._dispatch(key)
         return h
 
+    def _ensure_dispatched(self, handle: Handle) -> None:
+        """Dispatch the (partial) bucket containing ``handle`` if it has
+        not launched yet — never touches other buckets."""
+        with self._lock:
+            key = handle._bucket_key
+            bucket = self._buckets.get(key)
+            if bucket is not None and handle in bucket.handles:
+                self._dispatch(key)
+
     def _dispatch(self, key) -> None:
-        """Launch one bucket asynchronously; results stay on device."""
+        """Launch one bucket asynchronously; results stay on device.
+
+        Caller holds the lock.  The pending entry goes to the fetch
+        thread, which resolves the bucket's handles when the device
+        delivers.
+        """
         bucket = self._buckets.pop(key)
         a = self._aligner
         queries = (None if bucket.queries[0] is None else bucket.queries)
         batch, qlens, rlens = a._pack(queries, bucket.references,
                                       Qp=bucket.qp, Rp=bucket.rp)
-        out = dispatch.execute(
+        pending = dispatch.execute(
             batch,
             gap_open=a.gap_open, gap_extend=a.gap_extend,
             mode=a.key.mode, free=a.key.free,
             outputs=a.key.outputs, width=a.key.width,
             fetch=False,
         )
-        self._pending.append((out, qlens, rlens, bucket.handles))
+        done = threading.Event()
+        self._inflight.append(done)
+        self._queue.put((pending, qlens, rlens, bucket.handles, done))
+
+    def _fetch_loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            pending, qlens, rlens, handles, done = item
+            try:
+                host = pending.fetch()
+                for b, h in enumerate(handles):
+                    h._value = self._aligner._make_alignment(
+                        host, b, qlens[b], rlens[b])
+                    h._done = True
+                    h._event.set()
+            except Exception as e:  # propagate through result()
+                for h in handles:
+                    h._value = None
+                    h._error = e
+                    h._done = True
+                    h._event.set()
+            finally:
+                done.set()
 
     def flush(self) -> None:
-        """Dispatch every partial bucket and resolve all pending handles."""
-        import numpy as np
+        """Dispatch every partial bucket and wait for all in-flight
+        buckets to resolve (end-of-stream barrier)."""
+        with self._lock:
+            for key in list(self._buckets):
+                if self._buckets[key].size:
+                    self._dispatch(key)
+            self._buckets.clear()
+            inflight, self._inflight = self._inflight, []
+        for ev in inflight:
+            ev.wait()
 
-        for key in list(self._buckets):
-            if self._buckets[key].size:
-                self._dispatch(key)
-        self._buckets.clear()
-        for out, qlens, rlens, handles in self._pending:
-            host = {k: np.asarray(v) for k, v in out.items()}
-            for b, h in enumerate(handles):
-                h._value = self._aligner._make_alignment(
-                    host, b, qlens[b], rlens[b])
-                h._done = True
-        self._pending.clear()
+    def close(self) -> None:
+        """Drain and stop the fetch thread."""
+        self.flush()
+        self._queue.put(None)
+        self._fetcher.join(timeout=10)
+
+    def __enter__(self) -> "StreamingAligner":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -291,6 +291,38 @@ def test_ssw_init():
     Profile.new_ssw(b"ACGT", Matrix.default(), 2)
 
 
+def test_ssw_profile_score_size():
+    """score_size semantics (reference src/profile/mod.rs:337-358 +
+    src/alignment/mod.rs:507-544): 0 = 8-bit — saturated lanes report
+    the SSW cap score1=255; 1/2 = 16-bit (exact up to 65535)."""
+    m = Matrix.create(b"ACGT", 5, -4)
+    q = b"ACGT" * 40                     # perfect match scores 800 > 255
+    refs = [q, q[:20]]
+    for size, want_big in ((0, 255), (1, 800), (2, 800)):
+        prof = Profile.new_ssw(q, m, size)
+        a = Aligner.new().profile(prof).gap_open(10).gap_extend(1).build()
+        res = a.ssw_batch(None, refs)
+        assert res[0].score() == want_big, (size, res[0].score())
+        # sub-saturation pair is exact in every mode
+        assert res[1].score() == 100, (size, res[1].score())
+
+
+def test_ssw_profile_reuses_tensors_and_matches_query_path():
+    m = Matrix.create(b"ACGT", 2, -3)
+    q = b"ACGTTACGGT"
+    refs = [b"ACGTACGT", b"TTTTACGTT", b"GGACGTTACG"]
+    prof = Profile.new_ssw(q, m, 2)
+    via_profile = (Aligner.new().profile(prof).gap_open(4).gap_extend(1)
+                   .build().ssw_batch(None, refs))
+    via_query = (Aligner.new().matrix(m).gap_open(4).gap_extend(1)
+                 .build().ssw_batch([q] * len(refs), refs))
+    for p, r in zip(via_profile, via_query):
+        assert p.score() == r.score()
+        assert (p.ref_start(), p.ref_end(), p.query_start(), p.query_end()) \
+            == (r.ref_start(), r.ref_end(), r.query_start(), r.query_end())
+        assert p.cigar_string() == r.cigar_string()
+
+
 # -- TPU-build extras --------------------------------------------------------
 def test_error_guards():
     result = Aligner.new().build().align(b"ACGT", b"ACGT")
@@ -468,3 +500,49 @@ def test_streaming_aligner():
     h = stream2.submit(b"ACGT", b"ACGT")
     assert not h.done()
     assert h.result().get_score() == aligner.align(b"ACGT", b"ACGT").get_score()
+
+
+def test_streaming_per_bucket_resolution():
+    """result() must resolve only its own bucket — other buckets keep
+    accumulating (no global flush), and full buckets resolve in the
+    background without any flush() call."""
+    import time
+
+    from parasail_rs_tpu.engine.stream import StreamingAligner
+
+    m = Matrix.create(b"ACGT", 2, -3)
+    aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1).local()
+               .build())
+    with StreamingAligner(aligner, flush_size=4) as stream:
+        # bucket A: short pairs (fills: 4 submissions -> auto-dispatch)
+        ha = [stream.submit(b"ACGT", b"ACGTA") for _ in range(4)]
+        # bucket B: long pairs (1 submission, stays partial)
+        hb = stream.submit(b"ACGT" * 30, b"ACGTA" * 30)
+        # the full bucket resolves in the background without flush()
+        deadline = time.time() + 30
+        while not all(h.done() for h in ha) and time.time() < deadline:
+            time.sleep(0.01)
+        assert all(h.done() for h in ha)
+        assert not hb.done()
+        # resolving B's handle dispatches ONLY bucket B
+        assert hb.result(timeout=60).get_score() == \
+            aligner.align(b"ACGT" * 30, b"ACGTA" * 30).get_score()
+        for h in ha:
+            assert h.result().get_score() == \
+                aligner.align(b"ACGT", b"ACGTA").get_score()
+
+    # interleaved submit/result across buckets
+    with StreamingAligner(aligner, flush_size=8) as s:
+        out = []
+        for i in range(20):
+            q = b"ACGT" * (1 + i % 3)
+            r = b"ACGTA" * (1 + i % 5)
+            h = s.submit(q, r)
+            out.append((q, r, h))
+            if i % 7 == 6:
+                qq, rr, hh = out[i - 3]
+                assert hh.result(timeout=60).get_score() == \
+                    aligner.align(qq, rr).get_score()
+        for q, r, h in out:
+            assert h.result(timeout=60).get_score() == \
+                aligner.align(q, r).get_score()
