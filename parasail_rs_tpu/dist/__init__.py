@@ -8,6 +8,7 @@ results come back per-shard; XLA inserts the collectives.
 """
 
 from .sharded import make_device_mesh, sharded_align
-from .seqpar import seqpar_align
+from .seqpar import seqpar_align, seqpar_cigars
 
-__all__ = ["make_device_mesh", "seqpar_align", "sharded_align"]
+__all__ = ["make_device_mesh", "seqpar_align", "seqpar_cigars",
+           "sharded_align"]

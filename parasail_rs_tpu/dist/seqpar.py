@@ -34,7 +34,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..constants import NEG_INF32
+from ..constants import (
+    NEG_INF32,
+    TRACE_DEL,
+    TRACE_DEL_F,
+    TRACE_DIAG,
+    TRACE_DIAG_E,
+    TRACE_DIAG_F,
+    TRACE_INS,
+    TRACE_INS_E,
+)
 
 I32 = jnp.int32
 
@@ -96,15 +105,23 @@ def seqpar_align(
     q_chunk: int = 256,
     outputs: str = "score",
 ):
-    """Score (+ stats) and end coordinates for pairs too long for one chip.
+    """Score (+ stats/trace) and end coordinates for pairs too long for
+    one chip.
 
     Rp must divide by the mesh size; Qp by ``q_chunk``.  Returns
     {score, end_query, end_ref} (B,) int32 — plus matches/similar/length
     for ``outputs="stats"`` (which requires gap_open > gap_extend, the
     same payload-prefix contract as the single-chip kernel) — bit-exact
     vs the golden oracle.
+
+    ``outputs="trace"`` additionally emits ``trace_table`` (B, Qp, Rp)
+    int8 flags, column-sharded over the mesh: each device materializes
+    only its own (Qp, Rp/D) shard during the fill, so a multi-chip-sized
+    pair's flag plane never exists on one chip; the host walk (native
+    walker / golden) consumes the gathered plane to produce CIGARs.
     """
     want_stats = outputs == "stats"
+    want_trace = outputs == "trace"
     if qidx is None:
         assert not want_stats, "stats need the mapped query indices"
         qidx = jnp.zeros((profile.shape[0], profile.shape[2]), I32)
@@ -149,7 +166,7 @@ def seqpar_align(
 
         def superstep(carry, s):
             (dHlast, dPM, dstats, halo_h, halo_f, halo_sc, halo_top,
-             best, bi, bj, bstats) = carry
+             best, bi, bj, bstats, dEdown, tbuf) = carry
             t = s - d
             active = (t >= 0) & (t < S)
             tc = jnp.clip(t, 0, S - 1)
@@ -189,10 +206,10 @@ def seqpar_align(
                 if want_stats:
                     (hcol, fcol, htopd, hm, hs, hl, fm, fs, fl,
                      tophm, tophs, tophl) = cc
-                    s_col, dH_j, dPM_j, dst_j, rcol, jl = xs
+                    s_col, dH_j, dPM_j, dst_j, dE_j, rcol, jl = xs
                 else:
                     hcol, fcol, htopd = cc
-                    s_col, dH_j, dPM_j, dst_j, rcol, jl = xs
+                    s_col, dH_j, dPM_j, dst_j, dE_j, rcol, jl = xs
                 jg = jg0 + jl                              # global j
                 from_open_f = hcol - open_ >= fcol - ext
                 F = jnp.maximum(hcol - open_, fcol - ext)
@@ -245,6 +262,32 @@ def seqpar_align(
                     E = pm - ext * (ig - 1)
                 H = jnp.maximum(htemp, E)
                 newPM = jnp.maximum(seed, a.max(axis=0))
+                if want_trace:
+                    # Flag emission, bit-identical to ops/scan_kernel.py:
+                    # the same Gotoh comparisons over the same E/F/H
+                    # columns; E of the row above comes from the carried
+                    # per-column down state across query chunks.
+                    fflag = jnp.where(from_open_f, TRACE_DIAG_F,
+                                      TRACE_DEL_F)
+                    h_up = jnp.where(iic == 0, toph[None, :],
+                                     jnp.roll(H, 1, axis=0))
+                    e_top = jnp.where(t == 0, jnp.full((B,), neg, I32),
+                                      dE_j)
+                    e_up = jnp.where(iic == 0, e_top[None, :],
+                                     jnp.roll(E, 1, axis=0))
+                    eflag = jnp.where(h_up - open_ >= e_up - ext,
+                                      TRACE_DIAG_E, TRACE_INS_E)
+                    take_diag_t = (diag >= E) & (diag >= F)
+                    hflag = jnp.where(
+                        take_diag_t, TRACE_DIAG,
+                        jnp.where(E >= F, TRACE_INS, TRACE_DEL))
+                    if local:
+                        pre = jnp.maximum(jnp.maximum(diag, E), F)
+                        hflag = jnp.where(pre <= 0, 0, hflag)
+                    tr = (hflag | eflag | fflag).astype(jnp.int8)
+                else:
+                    tr = jnp.zeros((1, B), jnp.int8)
+                ndE_j = E[-1, :]
                 if want_stats:
                     take_diag = (diag >= E) & (diag >= F)
                     take_e = (~take_diag) & (E >= F)
@@ -274,11 +317,12 @@ def seqpar_align(
                     tophl_n = jnp.where(
                         t == 0, top_len(jg + 1) * jnp.ones((B,), I32),
                         dst_j[2])
-                    ys = (H[-1, :], newPM, ndst, H, Hm, Hs, Hl, toph)
+                    ys = (H[-1, :], newPM, ndst, H, Hm, Hs, Hl, toph,
+                          ndE_j, tr)
                     return ((H, F, toph, Hm, Hs, Hl, Fm, Fs, Fl,
                              tophm_n, tophs_n, tophl_n), ys)
                 ys = (H[-1, :], newPM, jnp.zeros((6, B), I32), H,
-                      H, H, H, toph)
+                      H, H, H, toph, ndE_j, tr)
                 return (H, F, toph), ys
 
             if want_stats:
@@ -288,11 +332,12 @@ def seqpar_align(
                 cc0 = (hcol0, fcol0, htop0)
             cols = (
                 jnp.moveaxis(stile, 0, 0),                 # (C, Qc, B)
-                dHlast, dPM, dstats,                       # (C, ...)
+                dHlast, dPM, dstats, dEdown,               # (C, ...)
                 jnp.swapaxes(ridx_sh, 0, 0),               # (C, B)
                 jnp.arange(C, dtype=I32),
             )
-            ccf, (nHlast, nPM, ndstats, Hall, Hmall, Hsall, Hlall, _tops) = \
+            ccf, (nHlast, nPM, ndstats, Hall, Hmall, Hsall, Hlall, _tops,
+                  ndE, trs) = \
                 jax.lax.scan(colstep, cc0, cols)
             hfin, ffin, htopfin = ccf[0], ccf[1], ccf[2]
 
@@ -339,6 +384,15 @@ def seqpar_align(
             dHlast = upd(dHlast, nHlast)
             dPM = upd(dPM, nPM)
             dstats = jnp.where(active, ndstats, dstats)
+            dEdown = upd(dEdown, ndE)
+            if want_trace:
+                # write this chunk's freshly produced (Qc, C, B) flag
+                # tile into the device-local plane at chunk row tc
+                tile = jnp.swapaxes(trs, 0, 1)[None]       # (1, Qc, C, B)
+                old = jax.lax.dynamic_slice(
+                    tbuf, (tc, 0, 0, 0), (1, Qc, C, B))
+                tbuf = jax.lax.dynamic_update_slice(
+                    tbuf, jnp.where(active, tile, old), (tc, 0, 0, 0))
             # halo to the right neighbor (ICI ring step)
             perm = [(k, k + 1) for k in range(D - 1)]
             halo_h = jax.lax.ppermute(upd(halo_h, hfin), axis, perm)
@@ -353,7 +407,7 @@ def seqpar_align(
                 halo_sc = jax.lax.ppermute(
                     jnp.where(active, nsc, halo_sc), axis, perm)
             return (dHlast, dPM, dstats, halo_h, halo_f, halo_sc, halo_top,
-                    best, bi, bj, bstats), None
+                    best, bi, bj, bstats, dEdown, tbuf), None
 
         carry0 = (
             jnp.zeros((C, B), I32), jnp.zeros((C, B), I32),
@@ -364,10 +418,16 @@ def seqpar_align(
             jnp.full((B,), neg), jnp.full((B,), I32(Qp)),
             jnp.full((B,), I32(Rp)),
             jnp.zeros((3, B), I32),
+            jnp.zeros((C, B), I32),
+            jnp.zeros((S, Qc, C, B) if want_trace else (1, 1, 1, 1),
+                      jnp.int8),
         )
         carry, _ = jax.lax.scan(
             superstep, carry0, jnp.arange(S + D - 1, dtype=I32))
         best, bi, bj, bstats = carry[7], carry[8], carry[9], carry[10]
+        if want_trace:
+            # (S, Qc, C, B) -> (Qp, C, B): this device's column shard
+            tplane = carry[12].reshape(Qp, C, B)
         # Combine candidates across devices: max score, then min (i, j).
         allb = jax.lax.all_gather(
             jnp.stack([best, bi, bj, bstats[0], bstats[1], bstats[2]]),
@@ -382,32 +442,69 @@ def seqpar_align(
         gm = jnp.where(win, allb[:, 3, :], 0).max(axis=0)
         gs = jnp.where(win, allb[:, 4, :], 0).max(axis=0)
         gl = jnp.where(win, allb[:, 5, :], 0).max(axis=0)
+        if want_trace:
+            return gb, gi, gj, gm, gs, gl, tplane
         return gb, gi, gj, gm, gs, gl
 
     spec_rep = P()
+    out_specs = (spec_rep,) * 6
+    if want_trace:
+        out_specs = out_specs + (P(None, axis, None),)
     fn = _shard_map(
         device_fn, mesh,
         in_specs=(spec_rep, P(axis), spec_rep, spec_rep, spec_rep),
-        out_specs=(spec_rep,) * 6,
+        out_specs=out_specs,
     )
-    best, bi, bj, bm, bs, bl = fn(
+    res = fn(
         jnp.asarray(profile, I32), jnp.asarray(ridx, I32),
         jnp.asarray(qlen, I32), jnp.asarray(rlen, I32),
         jnp.asarray(qidx, I32))
+    best, bi, bj, bm, bs, bl = res[:6]
+    tplane = res[6] if want_trace else None
 
     if mode == "nw":
         out = {"score": best, "end_query": qlen - 1, "end_ref": rlen - 1}
         if want_stats:
             out.update(matches=bm, similar=bs, length=bl)
-        return out
-    empty = best <= 0 if local else jnp.zeros_like(best, bool)
-    out = {
-        "score": jnp.where(empty, 0, best) if local else best,
-        "end_query": jnp.where(empty, 0, bi),
-        "end_ref": jnp.where(empty, 0, bj),
-    }
-    if want_stats:
-        out["matches"] = jnp.where(empty, 0, bm)
-        out["similar"] = jnp.where(empty, 0, bs)
-        out["length"] = jnp.where(empty, 0, bl)
+    else:
+        empty = best <= 0 if local else jnp.zeros_like(best, bool)
+        out = {
+            "score": jnp.where(empty, 0, best) if local else best,
+            "end_query": jnp.where(empty, 0, bi),
+            "end_ref": jnp.where(empty, 0, bj),
+        }
+        if want_stats:
+            out["matches"] = jnp.where(empty, 0, bm)
+            out["similar"] = jnp.where(empty, 0, bs)
+            out["length"] = jnp.where(empty, 0, bl)
+    if want_trace:
+        # (Qp, Rp, B) column-sharded -> engine-convention (B, Qp, Rp)
+        out["trace_table"] = jnp.transpose(tplane, (2, 0, 1))
     return out
+
+
+def seqpar_cigars(out, queries, references, mode,
+                  free=(False,) * 4) -> list[str]:
+    """Host traceback over a seqpar trace result -> CIGAR strings.
+
+    ``out`` is a ``seqpar_align(..., outputs="trace")`` result; the flag
+    plane is gathered to the host (each process receives its addressable
+    shards) and walked per pair — the same affine walk the engine's
+    ``Alignment.get_cigar`` uses, so strings are bit-identical to the
+    single-chip path.
+    """
+    from ..golden.model import walk_trace
+
+    trace = np.asarray(out["trace_table"])
+    eq = np.asarray(out["end_query"])
+    er = np.asarray(out["end_ref"])
+    scores = np.asarray(out["score"])
+    cigars = []
+    for b, (q, r) in enumerate(zip(queries, references)):
+        if mode == "sw" and scores[b] <= 0:
+            cigars.append("")
+            continue
+        walk = walk_trace(trace[b, :len(q), :len(r)], q, r,
+                          int(eq[b]), int(er[b]), mode, free)
+        cigars.append(walk.cigar_string())
+    return cigars
