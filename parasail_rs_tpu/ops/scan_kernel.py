@@ -98,7 +98,9 @@ def _plan(Qp, Rp, outputs):
     Rpad = (Rp + 7) // 8 * 8
     ndown = 0 if nq == 1 else (
         3 if want_trace else (8 if want_stats else 2))
-    nstate = 2 + (6 if want_stats else 0) + (nplanes if want_rowcol else 0)
+    # +4 candidate/saturation tracker planes (+3 stats-at-best planes)
+    nstate = 2 + (6 if want_stats else 0) + (nplanes if want_rowcol else 0) \
+        + 4 + (3 if want_stats else 0)
     # ~live column-loop temporaries (H/E/F/htemp/prefix slabs), measured
     # against Mosaic's scoped-stack accounting
     live = 20 if want_stats else 12
@@ -123,24 +125,38 @@ def scan_fits(Qp, Rp, outputs) -> bool:
     return _plan(Qp, Rp, outputs) is not None
 
 
-def _prefix_max_exclusive(a, ii, seed):
+def _prefix_masks(ii, n):
+    """Loop-invariant masks for the Hillis-Steele prefix steps.
+
+    Computed ONCE outside the column loop so the per-column scans pay
+    only the roll+select+max, not the iota comparisons.
+    """
+    masks = {0: ii == 0}
+    s = 1
+    while s < n:
+        masks[s] = ii >= s
+        s *= 2
+    return masks
+
+
+def _prefix_max_exclusive(a, masks, seed):
     """Exclusive (max) prefix along the sublane axis 0.
 
     out[i] = max(seed, a[0..i-1]) — ``seed`` is the virtual row above the
     chunk (boundary cell or cross-chunk prefix max).  Hillis-Steele with
     static shifts: log2(Qc) shift+max slab ops.
     """
-    x = jnp.where(ii == 0, seed, jnp.roll(a, 1, axis=0))
+    x = jnp.where(masks[0], seed, jnp.roll(a, 1, axis=0))
     s = 1
     n = a.shape[0]
     while s < n:
-        shifted = jnp.where(ii >= s, jnp.roll(x, s, axis=0), NEG_INF32)
+        shifted = jnp.where(masks[s], jnp.roll(x, s, axis=0), NEG_INF32)
         x = jnp.maximum(x, shifted)
         s *= 2
     return x
 
 
-def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
+def _prefix_argmax_exclusive(a, payloads, masks, seed, seed_payloads):
     """Exclusive prefix max over sublanes, carrying payload planes.
 
     Ties prefer the element already at the position (the LARGER origin
@@ -149,13 +165,13 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
     winning element).
     """
     neg = NEG_INF32
-    x = jnp.where(ii == 0, seed, jnp.roll(a, 1, axis=0))
-    ps = [jnp.where(ii == 0, sp, jnp.roll(p, 1, axis=0))
+    x = jnp.where(masks[0], seed, jnp.roll(a, 1, axis=0))
+    ps = [jnp.where(masks[0], sp, jnp.roll(p, 1, axis=0))
           for p, sp in zip(payloads, seed_payloads)]
     s = 1
     n = a.shape[0]
     while s < n:
-        xs = jnp.where(ii >= s, jnp.roll(x, s, axis=0), neg)
+        xs = jnp.where(masks[s], jnp.roll(x, s, axis=0), neg)
         take = xs > x
         x = jnp.where(take, xs, x)
         # take is only true where the shift was in-range, so the payload
@@ -163,6 +179,26 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
         ps = [jnp.where(take, jnp.roll(p, s, axis=0), p) for p in ps]
         s *= 2
     return x, ps
+
+
+def stats_pack_params(qp_total, rlen_total, resume=False, stream=False):
+    """Bit-field layout for packing the three stats planes (matches,
+    similar, length) into ONE int32 plane: [m | s | l+OFFL].
+
+    Valid only when every field fits 31 bits total — m, s <= l <=
+    qlen+rlen, and the l field carries l+OFFL (payload domain l-k+OFFL)
+    with OFFL = qp_total so it never goes negative.  Streamed/resumed
+    kernels see unbounded l (it accumulates across reference segments),
+    so they never pack.  Returns (packed, SH_M, SH_S, OFFL).
+    """
+    if resume or stream:
+        return False, 0, 0, 0
+    span = qp_total + rlen_total
+    bm = max(1, (span + 1).bit_length())          # m, s fields
+    bl = max(1, (span + qp_total + 1).bit_length())   # l + OFFL field
+    if 2 * bm + bl > 31:
+        return False, 0, 0, 0
+    return True, bm + bl, bl, qp_total
 
 
 def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
@@ -177,6 +213,11 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
     detect16 = width in ("16", "sat")
     nplanes = 4 if want_stats else 1
     chunked = nq > 1
+    packed, SH_M, SH_S, OFFL = stats_pack_params(
+        qp_total, rlen_total, resume, stream)
+    # table/rowcol classes write the separate stats planes per column, so
+    # only the scalar-stats class benefits from packing
+    packed = packed and want_stats and not (want_table or want_rowcol)
 
     def kernel(*refs):
         refs = list(refs)
@@ -205,15 +246,23 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         row_refs = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
         col_refs = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
         hprev, fprev = refs.pop(0), refs.pop(0)
-        if want_stats:
+        if want_stats and packed:
+            # one packed [m|s|l+OFFL] plane each for H-stats and F-stats
+            hm, fm = refs.pop(0), refs.pop(0)
+            hs = hl = fs = fl = None
+        elif want_stats:
             hm, hs, hl = refs.pop(0), refs.pop(0), refs.pop(0)
             fm, fs, fl = refs.pop(0), refs.pop(0), refs.pop(0)
         col_scratch = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
+        cand_scr = refs.pop(0)      # (4 [+3 stats], Qc, LANES) trackers
         htop_scr = refs.pop(0)
         if chunked:
             dH, dPM = refs.pop(0), refs.pop(0)
             dE = refs.pop(0) if want_trace else None
-            if want_stats:
+            if want_stats and packed:
+                dHm, dPMm = refs.pop(0), refs.pop(0)
+                dHs = dHl = dPMs = dPMl = None
+            elif want_stats:
                 dHm, dHs, dHl = refs.pop(0), refs.pop(0), refs.pop(0)
                 dPMm, dPMs, dPMl = refs.pop(0), refs.pop(0), refs.pop(0)
         acc = refs.pop(0)
@@ -227,6 +276,10 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         r0 = tq * Qc
         ii = jax.lax.broadcasted_iota(I32, (Qc, LANES), 0)
         ig = r0 + ii                               # global query row
+        # loop-invariant slabs hoisted out of the column sweep
+        pmasks = _prefix_masks(ii, Qc)
+        a_base = ext * ig - open_
+        e_base = ext * (ig - 1)
         qlen = qlen_ref[0, :, :]                   # (1, LANES)
         rlen = rlen_ref[0, :, :]
         imask = ig < qlen
@@ -247,6 +300,22 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             if banded:
                 base = jnp.where(jnp.asarray(c) <= bw, base, neg)
             return base
+
+        # Per-block running trackers replace per-column reductions: best-H
+        # and its column per query row, running masked min/max H for the
+        # saturation flags (+ stats planes of the best cell).  Reduced
+        # ONCE into acc after the column loop.
+        cand_scr[0] = jnp.full((Qc, LANES), neg, I32)
+        cand_scr[1] = jnp.full((Qc, LANES), BIG, I32)
+        if detect8 or detect16:
+            cand_scr[2] = jnp.zeros((Qc, LANES), I32)
+            cand_scr[3] = jnp.zeros((Qc, LANES), I32)
+        if want_stats and packed:
+            cand_scr[4] = jnp.zeros((Qc, LANES), I32)
+        elif want_stats:
+            cand_scr[4] = jnp.zeros((Qc, LANES), I32)
+            cand_scr[5] = jnp.zeros((Qc, LANES), I32)
+            cand_scr[6] = jnp.zeros((Qc, LANES), I32)
 
         @pl.when((tq == 0) & (jblk == 0))
         def _init_acc():
@@ -276,12 +345,20 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             # row-0 diagonal predecessor (value row 0; stats rows 1-3 when
             # stats are on: m = s = 0, l = bordered left length).
             htop_scr[0:1, :] = jnp.full((1, LANES), 1, I32) * left_b(r0)
-            if want_stats:
+            if want_stats and packed:
+                left_l = jnp.int32(0) if (db or local) else r0
+                htop_scr[1:2, :] = jnp.full((1, LANES), 1, I32) * (
+                    left_l + OFFL)
+                # golden: boundary Hl[i][0] = i (bordered), 0 when free
+                init_l = (jnp.zeros((Qc, LANES), I32)
+                          if (db or local) else ig + 1)
+                hm[:] = init_l + OFFL
+                fm[:] = jnp.full((Qc, LANES), OFFL, I32)
+            elif want_stats:
                 left_l = jnp.int32(0) if (db or local) else r0
                 htop_scr[1:2, :] = jnp.zeros((1, LANES), I32)
                 htop_scr[2:3, :] = jnp.zeros((1, LANES), I32)
                 htop_scr[3:4, :] = jnp.full((1, LANES), 1, I32) * left_l
-            if want_stats:
                 hm[:] = jnp.zeros((Qc, LANES), I32)
                 hs[:] = jnp.zeros((Qc, LANES), I32)
                 # golden: boundary Hl[i][0] = i (bordered), 0 when free
@@ -305,7 +382,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             # Diagonal predecessor of the chunk's top row: H[r0-1, j-1],
             # carried column-to-column through htop_scr.
             htopd = htop_scr[0:1, :]
-            hdiag = jnp.where(ii == 0, htopd, jnp.roll(hp, 1, axis=0))
+            hdiag = jnp.where(pmasks[0], htopd, jnp.roll(hp, 1, axis=0))
             diag = hdiag + s
             htemp = jnp.maximum(diag, F)
             if local:
@@ -331,9 +408,41 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 seed = jnp.where(tq == 0, seed0 * ones, dPM[pl.ds(jl, 1), :])
             else:
                 seed = seed0 * ones
-            a = htemp - open_ + ext * ig
+            a = htemp + a_base
 
-            if want_stats:
+            if want_stats and packed:
+                # Packed stats: all three accumulator planes (matches,
+                # similar, length) live in ONE int32 [m|s|l+OFFL] plane —
+                # the recurrences become field-aligned adds and the E
+                # prefix carries a single payload instead of three.
+                qidx_c = qidx_ref[0, :, :]                    # (Qc, LANES)
+                ridx_c = ridx_ref[0, pl.ds(jj, 1), :]         # (1, LANES)
+                im = (qidx_c == ridx_c).astype(I32)
+                hp_msl = hm[:]
+                msl_d = jnp.where(pmasks[0], htop_scr[1:2, :],
+                                  jnp.roll(hp_msl, 1, axis=0))
+                D_msl = msl_d + (im * (1 << SH_M)
+                                 + (s > 0).astype(I32) * (1 << SH_S) + 1)
+                F_msl = jnp.where(from_open_f, hp_msl, fm[:]) + 1
+                t_diag = diag >= F
+                T_msl = jnp.where(t_diag, D_msl, F_msl)
+                if local:
+                    T_msl = jnp.where(htemp == 0, OFFL, T_msl)
+                payload = T_msl - ig                 # l-k+OFFL domain
+                seed_l = (jnp.int32(0) if (qb or local) else j + 1) + 1
+                if chunked:
+                    sd = jnp.where(
+                        tq == 0,
+                        (seed_l + OFFL) * jnp.ones((1, LANES), I32),
+                        dPMm[pl.ds(jl, 1), :])
+                    seeds = (sd,)
+                else:
+                    seeds = (seed_l + OFFL,)
+                pm, (E_msl_p,) = _prefix_argmax_exclusive(
+                    a, (payload,), pmasks, seed, seeds)
+                E = pm - e_base
+                E_msl = E_msl_p + ig
+            elif want_stats:
                 # Stats planes ride the same recurrences (golden
                 # model.py:166-211); E stats ride the prefix scan as
                 # payloads of the winning origin row — exact for
@@ -345,11 +454,11 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 # diagonal-predecessor stats at the chunk's top row come
                 # from the column carry (boundary values for the top
                 # chunk, the previous chunk's last row otherwise)
-                m_d = jnp.where(ii == 0, htop_scr[1:2, :],
+                m_d = jnp.where(pmasks[0], htop_scr[1:2, :],
                                 jnp.roll(hm_p, 1, axis=0))
-                s_d = jnp.where(ii == 0, htop_scr[2:3, :],
+                s_d = jnp.where(pmasks[0], htop_scr[2:3, :],
                                 jnp.roll(hs_p, 1, axis=0))
-                l_d = jnp.where(ii == 0, htop_scr[3:4, :],
+                l_d = jnp.where(pmasks[0], htop_scr[3:4, :],
                                 jnp.roll(hl_p, 1, axis=0))
                 Dm = m_d + im
                 Ds = s_d + (s > 0).astype(I32)
@@ -378,15 +487,23 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 else:
                     seeds = (jnp.int32(0), jnp.int32(0), seed_l)
                 pm, (Em, Es, Elm) = _prefix_argmax_exclusive(
-                    a, (Tm, Ts, Tlm), ii, seed, seeds)
-                E = pm - ext * (ig - 1)
+                    a, (Tm, Ts, Tlm), pmasks, seed, seeds)
+                E = pm - e_base
                 El = Elm + ig
             else:
-                pm = _prefix_max_exclusive(a, ii, seed)
-                E = pm - ext * (ig - 1)
+                pm = _prefix_max_exclusive(a, pmasks, seed)
+                E = pm - e_base
             H = jnp.maximum(htemp, E)
 
-            if want_stats:
+            if want_stats and packed:
+                take_diag = (diag >= E) & (diag >= F)
+                take_e = (~take_diag) & (E >= F)
+                H_msl = jnp.where(take_diag, D_msl,
+                                  jnp.where(take_e, E_msl, F_msl))
+                if local:
+                    H_msl = jnp.where(H <= 0, OFFL, H_msl)
+                hm[:], fm[:] = H_msl, F_msl
+            elif want_stats:
                 take_diag = (diag >= E) & (diag >= F)
                 take_e = (~take_diag) & (E >= F)
                 Hm = jnp.where(take_diag, Dm, jnp.where(take_e, Em, Fm))
@@ -406,12 +523,12 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 # E/F/H columns carry the same values, so the same >= tie
                 # rules produce the same flags.
                 fflag = jnp.where(from_open_f, TRACE_DIAG_F, TRACE_DEL_F)
-                h_up = jnp.where(ii == 0, toph, jnp.roll(H, 1, axis=0))
+                h_up = jnp.where(pmasks[0], toph, jnp.roll(H, 1, axis=0))
                 if chunked:
                     e_top = jnp.where(tq == 0, neg * ones, dE[pl.ds(jl, 1), :])
                 else:
                     e_top = neg * ones
-                e_up = jnp.where(ii == 0, e_top, jnp.roll(E, 1, axis=0))
+                e_up = jnp.where(pmasks[0], e_top, jnp.roll(E, 1, axis=0))
                 eflag = jnp.where(h_up - open_ >= e_up - ext,
                                   TRACE_DIAG_E, TRACE_INS_E)
                 take_diag = (diag >= E) & (diag >= F)
@@ -428,7 +545,18 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             hprev[:] = H
             fprev[:] = F
             htop_scr[0:1, :] = toph
-            if want_stats:
+            if want_stats and packed:
+                # packed stats of the cell above at column j: m = s = 0,
+                # l = boundary length -> value top_l + OFFL
+                ones1 = jnp.ones((1, LANES), I32)
+                top_p = ((jnp.int32(0) if (qb or local) else j + 1)
+                         + OFFL) * ones1
+                if chunked:
+                    htop_scr[1:2, :] = jnp.where(
+                        tq == 0, top_p, dHm[pl.ds(jl, 1), :])
+                else:
+                    htop_scr[1:2, :] = top_p
+            elif want_stats:
                 # stats of the cell above at column j, carried for the
                 # next column's diagonal
                 ones1 = jnp.ones((1, LANES), I32)
@@ -446,7 +574,16 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     htop_scr[3:4, :] = top_l1
             if chunked:
                 dH[pl.ds(jl, 1), :] = H[Qc - 1:Qc, :]
-                if want_stats:
+                if want_stats and packed:
+                    lastA = a[Qc - 1:Qc, :]
+                    prev = pm[Qc - 1:Qc, :]
+                    take_last = lastA >= prev
+                    dPM[pl.ds(jl, 1), :] = jnp.where(take_last, lastA, prev)
+                    dPMm[pl.ds(jl, 1), :] = jnp.where(
+                        take_last, payload[Qc - 1:Qc, :],
+                        E_msl_p[Qc - 1:Qc, :])
+                    dHm[pl.ds(jl, 1), :] = H_msl[Qc - 1:Qc, :]
+                elif want_stats:
                     # cross-chunk prefix max with payloads: combine the
                     # exclusive scan at the last row (covers seed + rows
                     # 0..Qc-2) with the last row itself, preferring the
@@ -471,7 +608,9 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     dE[pl.ds(jl, 1), :] = E[Qc - 1:Qc, :]
 
             inseq = imask & (j < rlen)
-            planes = [H] if not want_stats else [H, Hm, Hs, Hl]
+            # packed stats never serve table/rowcol, so the separate
+            # plane list only exists in the unpacked branches
+            planes = [H] if (not want_stats or packed) else [H, Hm, Hs, Hl]
             if want_table:
                 for tref, P in zip(tab_refs, planes):
                     tref[0, jj, :, :] = P
@@ -486,17 +625,16 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 colsel = (j == rlen - 1) & imask
                 for cs, P in zip(col_scratch, planes):
                     cs[:] = jnp.where(colsel, P, cs[:])
-            # Saturation detection (8/16-bit width emulation).
-            if detect8:
-                hit8 = inseq & ((H >= WIDTH_MAX["8"]) | (H <= WIDTH_MIN["8"]))
-                acc[3:4, :] = acc[3:4, :] | hit8.any(
-                    axis=0, keepdims=True).astype(I32)
-            if detect16:
-                hit16 = inseq & ((H >= WIDTH_MAX["16"]) | (H <= WIDTH_MIN["16"]))
-                acc[4:5, :] = acc[4:5, :] | hit16.any(
-                    axis=0, keepdims=True).astype(I32)
+            # Saturation tracking: running masked min/max of H — the flag
+            # comparisons happen once per block, not per column.
+            if detect8 or detect16:
+                Hmasked = jnp.where(inseq, H, 0)
+                cand_scr[2] = jnp.maximum(cand_scr[2], Hmasked)
+                cand_scr[3] = jnp.minimum(cand_scr[3], Hmasked)
 
-            # End-cell candidates (same accumulation as wavefront_align).
+            # End-cell candidates: per-row running best (strict > keeps the
+            # earliest column per row — the reference's j-ascending tie
+            # preference); reduced across rows once per block.
             last_row = ig == qlen - 1
             last_col = j == rlen - 1
             if local:
@@ -510,28 +648,62 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 cand = inseq & sel
             else:
                 cand = last_row & last_col & inseq
-            Hc = jnp.where(cand, H, neg)
-            step_best = Hc.max(axis=0, keepdims=True)           # (1, LANES)
-            step_i = jnp.where(
-                Hc == step_best, ig, I32(qp_total)).min(axis=0, keepdims=True)
-            best, bi = acc[0:1, :], acc[1:2, :]
-            better = (step_best > best) | (
-                (step_best == best) & (step_best > neg) & (step_i < bi))
-            acc[0:1, :] = jnp.where(better, step_best, best)
-            acc[1:2, :] = jnp.where(better, step_i, bi)
-            acc[2:3, :] = jnp.where(
-                better, jnp.full((1, LANES), j, I32), acc[2:3, :])
-            if want_stats:
-                rowsel = ig == step_i
-                pick = lambda M: jnp.where(rowsel, M, 0).sum(
-                    axis=0, keepdims=True)
-                acc[5:6, :] = jnp.where(better, pick(Hm), acc[5:6, :])
-                acc[6:7, :] = jnp.where(better, pick(Hs), acc[6:7, :])
-                acc[7:8, :] = jnp.where(better, pick(Hl), acc[7:8, :])
+            upd = cand & (H > cand_scr[0])
+            cand_scr[0] = jnp.where(upd, H, cand_scr[0])
+            cand_scr[1] = jnp.where(upd, j, cand_scr[1])
+            if want_stats and packed:
+                cand_scr[4] = jnp.where(upd, H_msl, cand_scr[4])
+            elif want_stats:
+                cand_scr[4] = jnp.where(upd, Hm, cand_scr[4])
+                cand_scr[5] = jnp.where(upd, Hs, cand_scr[5])
+                cand_scr[6] = jnp.where(upd, Hl, cand_scr[6])
             return 0
 
         ncols = jnp.minimum(Jt, rlen_total - jblk * Jt)
         jax.lax.fori_loop(0, ncols, col, 0)
+
+        # Reduce this block's trackers into the cross-block accumulator
+        # (same lexicographic rule as the old per-column update: H desc,
+        # then i asc; earlier blocks keep ties, preserving j asc).
+        cb = cand_scr[0]
+        step_best = cb.max(axis=0, keepdims=True)               # (1, LANES)
+        rowhit = cb == step_best
+        step_i = jnp.where(rowhit, ig, I32(qp_total)).min(axis=0,
+                                                          keepdims=True)
+        selrow = rowhit & (ig == step_i)
+        step_j = jnp.where(selrow, cand_scr[1], 0).sum(axis=0, keepdims=True)
+        best, bi = acc[0:1, :], acc[1:2, :]
+        better = (step_best > best) | (
+            (step_best == best) & (step_best > neg) & (step_i < bi))
+        acc[0:1, :] = jnp.where(better, step_best, best)
+        acc[1:2, :] = jnp.where(better, step_i, bi)
+        acc[2:3, :] = jnp.where(better, step_j, acc[2:3, :])
+        if want_stats and packed:
+            msl = jnp.where(selrow, cand_scr[4], 0).sum(
+                axis=0, keepdims=True)
+            m_v = jnp.right_shift(msl, SH_M)
+            s_v = jnp.bitwise_and(jnp.right_shift(msl, SH_S),
+                                  (1 << (SH_M - SH_S)) - 1)
+            l_v = jnp.bitwise_and(msl, (1 << SH_S) - 1) - OFFL
+            acc[5:6, :] = jnp.where(better, m_v, acc[5:6, :])
+            acc[6:7, :] = jnp.where(better, s_v, acc[6:7, :])
+            acc[7:8, :] = jnp.where(better, l_v, acc[7:8, :])
+        elif want_stats:
+            pick = lambda k: jnp.where(selrow, cand_scr[k], 0).sum(
+                axis=0, keepdims=True)
+            acc[5:6, :] = jnp.where(better, pick(4), acc[5:6, :])
+            acc[6:7, :] = jnp.where(better, pick(5), acc[6:7, :])
+            acc[7:8, :] = jnp.where(better, pick(6), acc[7:8, :])
+        if detect8:
+            hit8 = ((cand_scr[2] >= WIDTH_MAX["8"]) |
+                    (cand_scr[3] <= WIDTH_MIN["8"]))
+            acc[3:4, :] = acc[3:4, :] | hit8.any(
+                axis=0, keepdims=True).astype(I32)
+        if detect16:
+            hit16 = ((cand_scr[2] >= WIDTH_MAX["16"]) |
+                     (cand_scr[3] <= WIDTH_MIN["16"]))
+            acc[4:5, :] = acc[4:5, :] | hit16.any(
+                axis=0, keepdims=True).astype(I32)
 
         @pl.when(jblk == nj - 1)
         def _fini_chunk():
@@ -684,16 +856,24 @@ def scan_score_align(
                 pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
                              memory_space=pltpu.VMEM))
 
+    packed = (want_stats and not (want_table or want_rowcol)
+              and stats_pack_params(Qp, Rp)[0])
     scratch = [
         pltpu.VMEM((Qc, LANES), I32),      # hprev
         pltpu.VMEM((Qc, LANES), I32),      # fprev
     ]
     if want_stats:
-        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
+        # packed mode folds (m, s, l) into one plane each for H/F stats
+        scratch += [pltpu.VMEM((Qc, LANES), I32)
+                    for _ in range(2 if packed else 6)]
     if want_rowcol:
         scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(nplanes)]
-    scratch.append(
-        pltpu.VMEM((4 if want_stats else 1, LANES), I32))    # htop carry
+    scratch.append(pltpu.VMEM(
+        (5 if packed else (7 if want_stats else 4), Qc, LANES),
+        I32))   # cand/sat trackers
+    scratch.append(pltpu.VMEM(
+        ((2 if packed else 4) if want_stats else 1, LANES),
+        I32))    # htop carry
     if chunked:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),    # dH
                     pltpu.VMEM((Rpad, LANES), I32)]    # dPM
@@ -701,7 +881,7 @@ def scan_score_align(
             scratch.append(pltpu.VMEM((Rpad, LANES), I32))  # dE
         if want_stats:
             scratch += [pltpu.VMEM((Rpad, LANES), I32)
-                        for _ in range(6)]  # dHm/dHs/dHl + dPM payloads
+                        for _ in range(2 if packed else 6)]
     scratch.append(pltpu.VMEM((8, LANES), I32))    # acc
 
     res = pl.pallas_call(
@@ -886,6 +1066,8 @@ def scan_score_segment(
     ]
     if want_stats:
         scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
+    scratch.append(pltpu.VMEM(
+        (7 if want_stats else 4, Qc, LANES), I32))   # cand/sat trackers
     scratch.append(pltpu.VMEM((TROWS, LANES), I32))  # htop carry
     if nq > 1:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),
