@@ -124,6 +124,7 @@ def _emit(res):
         "median_aln_per_sec": round(B / med_dt),
         "gcups": round(B * L * L / best_dt / 1e9, 1),
         "compile_first_s": res.get("compile_first_s"),
+        "stats_aln_per_sec": res.get("stats_aln_per_sec"),
         "e2e": res.get("e2e", {}),
     }
     print(json.dumps(out))
@@ -217,10 +218,53 @@ def _run_tpu(scratch):
         time.sleep(0.05)
 
     if res["windows"]:
+        _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B)
         res["e2e"] = {}
         _secondary_configs(True, res["e2e"],
                            lambda: _write_json(scratch, res))
     os._exit(0)
+
+
+def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B):
+    """Chained-dependency timing of the stats kernel (matches/similar/
+    length accumulators) — the second headline of the kernel family."""
+    import jax
+
+    from parasail_rs_tpu.ops.scan_kernel import scan_score_align
+
+    rng = np.random.default_rng(3)
+    A = profile.shape[2]
+    qidx = jax.device_put(
+        rng.integers(0, A, size=(B, profile.shape[1])).astype(np.int32))
+
+    def run(ql):
+        return scan_score_align(
+            profile, ridx, ql, rlen, qidx,
+            open_=np.int32(11), ext=np.int32(1),
+            mode="sw", free=(True,) * 4, width="sat", outputs="stats",
+            interpret=False)
+
+    try:
+        _with_timeout(lambda: jax.block_until_ready(run(qlen)["score"]), 180)
+        per_call = []
+        for iters in (4, 8, 8):
+            def window(iters=iters):
+                ql = qlen
+                t0 = time.time()
+                for _ in range(iters):
+                    out = run(ql)
+                    ql = qlen + (out["score"] & 0)
+                float(np.asarray(out["score"]).sum())
+                return time.time() - t0
+            dt = _with_timeout(window, WINDOW_TIMEOUT)
+            per_call.append(dt / iters)
+            print(f"[bench] stats window iters={iters}: "
+                  f"{dt/iters*1e3:.2f} ms/call", file=sys.stderr)
+        res["stats_aln_per_sec"] = round(B / min(per_call))
+        _write_json(scratch, res)
+    except Exception as e:  # stats headline is best-effort
+        print(f"[bench] stats windows failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 def _run_cpu():
