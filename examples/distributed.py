@@ -12,7 +12,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-if len(jax.devices()) < 2:
+# The virtual-device CPU mesh is requested via XLA_FLAGS (see header);
+# honor it BEFORE touching jax.devices() so a TPU plugin (or a wedged
+# dev tunnel) never has to initialize at all.
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    jax.config.update("jax_platforms", "cpu")
+elif len(jax.devices()) < 2:
     jax.config.update("jax_platforms", "cpu")
 
 from parasail_rs_tpu.dist import make_device_mesh, seqpar_align, sharded_align
@@ -51,3 +56,14 @@ sp = seqpar_align(prof, ridx, np.array([len(q)], np.int32),
                   np.array([len(r)], np.int32),
                   open_=5, ext=2, mesh=mesh, mode="sw", q_chunk=32)
 print("sequence-parallel long-pair score:", int(sp["score"][0]))
+
+# The same pair with trace output: each device emits its column shard of
+# the flag plane; the host walk produces the CIGAR.
+from parasail_rs_tpu.dist import seqpar_cigars
+
+sp_tr = seqpar_align(prof, ridx, np.array([len(q)], np.int32),
+                     np.array([len(r)], np.int32),
+                     open_=5, ext=2, mesh=mesh, mode="sw", q_chunk=32,
+                     outputs="trace")
+cigar = seqpar_cigars(sp_tr, [q], [r], "sw", (True,) * 4)[0]
+print("sequence-parallel CIGAR (first 60 chars):", cigar[:60])
