@@ -18,7 +18,6 @@ from __future__ import annotations
 import logging
 import os
 from collections import Counter
-from dataclasses import dataclass
 
 import numpy as np
 
@@ -34,7 +33,6 @@ log = logging.getLogger("parasail_rs_tpu")
 ROUTE_COUNTS: Counter = Counter()
 
 
-@dataclass
 class PairBatch:
     """Padded device-ready tensors for a batch of alignment pairs.
 
@@ -43,14 +41,39 @@ class PairBatch:
     redundancy (every pair gathers from the same table), so they are
     built on the DEVICE by a one-hot matmul at dispatch — the host never
     materializes or ships the (B, Qp, A) tensor.
+
+    Batches built by :func:`pack_pairs` additionally carry the raw
+    ``qbytes``/``rbytes`` (uint8) and the matrix ``mapper``: the Pallas
+    route ships THOSE (4x smaller than int32 indices) and encodes inside
+    its fused jit, so a batch costs one device dispatch.  ``qidx`` /
+    ``ridx`` encode lazily (cached) for the routes that want indices.
     """
 
-    profile: np.ndarray | None   # (B or 1, Qp, A) int32, or None
-    qidx: np.ndarray             # (B or 1, Qp) int32
-    ridx: np.ndarray             # (B, Rp) int32
-    qlen: np.ndarray             # (B,) int32
-    rlen: np.ndarray             # (B,) int32
-    table: np.ndarray | None = None   # (A, A) int32 when profile is None
+    def __init__(self, profile, qidx, ridx, qlen, rlen, table=None,
+                 qbytes=None, rbytes=None, mapper=None):
+        self.profile = profile       # (B or 1, Qp, A) int32, or None
+        self._qidx = qidx            # (B or 1, Qp) int32 (lazy if None)
+        self._ridx = ridx            # (B, Rp) int32 (lazy if None)
+        self.qlen = np.asarray(qlen)             # (B,) int32
+        self.rlen = np.asarray(rlen)             # (B,) int32
+        self.table = table           # (A, A) int32 when profile is None
+        self.qbytes = qbytes         # (B, Qp) uint8 raw sequence bytes
+        self.rbytes = rbytes         # (B, Rp) uint8
+        self.mapper = mapper         # (256,) int32 byte -> index
+
+    @property
+    def qidx(self):
+        if self._qidx is None:
+            self._qidx = _device_encode(
+                self.mapper, self.qbytes, self.qlen, -1)
+        return self._qidx
+
+    @property
+    def ridx(self):
+        if self._ridx is None:
+            self._ridx = _device_encode(
+                self.mapper, self.rbytes, self.rlen, 0)
+        return self._ridx
 
     @property
     def size(self) -> int:
@@ -58,7 +81,18 @@ class PairBatch:
 
     @property
     def qp(self) -> int:
-        return int(self.qidx.shape[1])
+        src = self._qidx if self._qidx is not None else self.qbytes
+        return int(src.shape[1])
+
+    @property
+    def rp(self) -> int:
+        src = self._ridx if self._ridx is not None else self.rbytes
+        return int(src.shape[1])
+
+    @property
+    def shared_query(self) -> bool:
+        """True for profile-reuse batches (one query, broadcast)."""
+        return self._qidx is not None and self._qidx.shape[0] == 1
 
     @property
     def score_values(self) -> np.ndarray:
@@ -135,8 +169,10 @@ def pack_pairs(
     rbytes = np.zeros((B, Rp), np.uint8)
     rbytes[rmask] = np.frombuffer(rjoined, np.uint8)
     # mapper lookup runs ON DEVICE: the batch ships packed uint8 bytes
-    # (4x less transfer) and the host never pays the gather
-    ridx = _device_encode(matrix.mapper, rbytes, rlens, 0)
+    # (4x less transfer) and the host never pays the gather.  The Pallas
+    # route encodes INSIDE its fused jit; PairBatch.ridx encodes lazily
+    # for everyone else.
+    qbytes = None
 
     if profile is not None:
         ql = profile.query_len
@@ -159,8 +195,9 @@ def pack_pairs(
         qmask = np.arange(Qp)[None, :] < qlens[:, None]
         qbytes = np.zeros((B, Qp), np.uint8)
         qbytes[qmask] = np.frombuffer(qjoined, np.uint8)
-        # padded query lanes must never count as matches (fill -1)
-        qidx = _device_encode(matrix.mapper, qbytes, qlens, -1)
+        # padded query lanes must never count as matches (fill -1);
+        # encoding is lazy (PairBatch.qidx)
+        qidx = None
         A = matrix.size
         if matrix.is_square:
             # Device-side profile: ship only qidx + the (A, A) table.
@@ -172,10 +209,12 @@ def pack_pairs(
                            axis=0).astype(np.int32, copy=False)
             prof = np.ascontiguousarray(rows)[None]
     batch = PairBatch(
-        profile=prof, qidx=qidx, ridx=ridx,
+        profile=prof, qidx=qidx, ridx=None,
         qlen=np.asarray(qlens), rlen=np.asarray(rlens),
         table=np.ascontiguousarray(matrix.data, dtype=np.int32)
-        if prof is None else None)
+        if prof is None else None,
+        qbytes=qbytes, rbytes=rbytes,
+        mapper=np.asarray(matrix.mapper, np.int32))
     return batch, [int(x) for x in qlens], [int(x) for x in rlens]
 
 
@@ -234,7 +273,7 @@ def execute(
         if route != "pallas":
             log.info(
                 "batch (B=%d, Qp=%d, Rp=%d, %s/%s) routed to %s: %s",
-                batch.size, batch.qp, batch.ridx.shape[1], mode, outputs,
+                batch.size, batch.qp, batch.rp, mode, outputs,
                 route, reason)
             if on_fallback is not None:
                 on_fallback(route, reason)
@@ -321,7 +360,7 @@ def _pallas_gate(batch: PairBatch, outputs: str, gap_open: int,
     # trace/table.  Beyond these the streamed scan kernel takes over.
     from ..ops.scan_kernel import scan_fits
 
-    Qp, Rp = batch.qp, batch.ridx.shape[1]
+    Qp, Rp = batch.qp, batch.rp
     if not scan_fits(Qp, Rp, outputs):
         return False, f"shape ({Qp}x{Rp}, {outputs}) exceeds the VMEM plan"
     Bpad = (batch.size + 127) // 128 * 128
@@ -363,15 +402,17 @@ def plan_route(batch: PairBatch, outputs: str, gap_open: int,
 _SCAN_JIT_CACHE: dict = {}
 
 
-def _scan_exec_fn(table_path, stats, mode, free, width, outputs, banded,
-                  interpret):
+def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
+                  width, outputs, banded, interpret):
     """One jitted function covering the whole device path of a Pallas
-    dispatch: device-side profile construction (table path), the scan
+    dispatch: byte->index encode (bytes paths ship raw uint8, 4x less
+    transfer), device-side profile construction (table path), the scan
     kernel, and packing of the per-pair scalar outputs into a single
     array so the host pays ONE fetch round-trip instead of one per
     output.  Eagerly dispatching these ops one by one costs a tunnel
     round-trip each (~100+ ms per batch on the dev TPU)."""
-    key = (table_path, stats, mode, free, width, outputs, banded, interpret)
+    key = (table_path, qbytes_path, rbytes_path, stats, mode, free, width,
+           outputs, banded, interpret)
     if key in _SCAN_JIT_CACHE:
         return _SCAN_JIT_CACHE[key]
     import jax
@@ -379,7 +420,22 @@ def _scan_exec_fn(table_path, stats, mode, free, width, outputs, banded,
 
     from ..ops.scan_kernel import scan_score_align
 
-    def fn(prof_or_table, qidx, ridx, qlen, rlen, open_, ext, bandwidth):
+    def fn(prof_or_table, qarg, rarg, mapper, qlen, rlen, open_, ext,
+           bandwidth):
+        if qbytes_path:
+            qm = (jnp.arange(qarg.shape[1], dtype=jnp.int32)[None, :]
+                  < qlen[:, None])
+            qidx = jnp.where(qm, jnp.take(mapper, qarg.astype(jnp.int32)),
+                             -1)
+        else:
+            qidx = qarg
+        if rbytes_path:
+            rm = (jnp.arange(rarg.shape[1], dtype=jnp.int32)[None, :]
+                  < rlen[:, None])
+            ridx = jnp.where(rm, jnp.take(mapper, rarg.astype(jnp.int32)),
+                             0)
+        else:
+            ridx = rarg
         if table_path:
             table = prof_or_table
             oh = jax.nn.one_hot(jnp.clip(qidx, 0, table.shape[0] - 1),
@@ -456,16 +512,25 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
 
         return jnp.pad(x, widths)
 
-    shared = batch.qidx.shape[0] == 1
-    qidx = batch.qidx if shared else padb(batch.qidx)
+    shared = batch.shared_query
     stats = outputs in ("stats", "stats_table", "stats_rowcol")
     table_path = batch.table is not None
-    fn, meta = _scan_exec_fn(table_path, stats, mode, free, width, outputs,
-                             banded, jax.default_backend() != "tpu")
+    qbytes_path = table_path and batch.qbytes is not None
+    rbytes_path = batch.rbytes is not None
+    if qbytes_path:
+        qarg = padb(batch.qbytes)
+    else:
+        qarg = batch.qidx if shared else padb(batch.qidx)
+    rarg = padb(batch.rbytes if rbytes_path else batch.ridx)
+    mapper = (batch.mapper if (qbytes_path or rbytes_path)
+              else np.zeros(256, np.int32))
+    fn, meta = _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats,
+                             mode, free, width, outputs, banded,
+                             jax.default_backend() != "tpu")
     packed, big = fn(
         batch.table if table_path else
         (batch.profile if shared else padb(batch.profile)),
-        qidx, padb(batch.ridx), padb(batch.qlen), padb(batch.rlen),
+        qarg, rarg, mapper, padb(batch.qlen), padb(batch.rlen),
         np.int32(gap_open), np.int32(gap_extend), np.int32(bandwidth or 0))
     names = meta["names"]
     if not fetch:
@@ -499,7 +564,7 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
         return False
     if outputs == "trace":
         # the assembled host flag plane must stay within reason
-        if Bpad * batch.qp * batch.ridx.shape[1] > 4 << 30:
+        if Bpad * batch.qp * batch.rp > 4 << 30:
             return False
     if os.environ.get("PT_FORCE_PALLAS") == "1":
         return True
@@ -527,7 +592,7 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
 
         return jnp.pad(x, widths)
 
-    shared = batch.qidx.shape[0] == 1
+    shared = batch.shared_query
     qidx = batch.qidx if shared else padb(batch.qidx)
     prof = _device_profile(
         None if batch.profile is None else
@@ -560,7 +625,7 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
             trace_segs.append(np.asarray(out.pop("trace_table_seg"))[:B])
     res = {k: np.asarray(v)[:B] for k, v in out.items()}
     if outputs == "trace":
-        Rp_true = batch.ridx.shape[1]
+        Rp_true = batch.rp
         res["trace_table"] = np.concatenate(
             trace_segs, axis=2)[:, :, :Rp_true]
     return res
