@@ -83,41 +83,59 @@ def _classes(outputs):
 
 
 def _plan(Qp, Rp, outputs):
-    """(Qc, nq, Jt, nj) tile plan, or None if it cannot fit VMEM."""
+    """(Qc, nq, Jt, nj) tile plan, or None if nothing fits VMEM.
+
+    The chunk size adapts: the whole query in one chunk when its state
+    planes fit, else progressively smaller power-of-two chunks (stats
+    prefers <= 512 — its state/payload planes are 4x a score sweep's).
+    This keeps mid-range shapes (1-8kbp queries) on the Pallas route
+    instead of dropping them onto the ~1000x slower wavefront.
+    """
     want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
     nplanes = 4 if want_stats else 1
-    if Qp <= 2 * Q_CHUNK:
-        Qc = Qp
-    else:
-        # stats chunks smaller: its state/payload planes are 4x a score
-        # sweep's
-        Qc = 512 if want_stats else Q_CHUNK
-        if Qp % Qc:
+
+    def try_qc(Qc):
+        nq = Qp // Qc
+        Rpad = (Rp + 7) // 8 * 8
+        ndown = 0 if nq == 1 else (
+            3 if want_trace else (8 if want_stats else 2))
+        # +4 candidate/saturation tracker planes (+3 stats-at-best; the
+        # packed-stats mode uses fewer — counted unpacked, conservative)
+        nstate = 2 + (6 if want_stats else 0) \
+            + (nplanes if want_rowcol else 0) \
+            + 4 + (3 if want_stats else 0)
+        # ~live column-loop temporaries (H/E/F/htemp/prefix slabs),
+        # measured against Mosaic's scoped-stack accounting
+        live = 20 if want_stats else 12
+        fixed = ((nstate + live) * Qc * LANES * 4 + ndown * Rpad * LANES * 4
+                 + (2 * nplanes * Qc * LANES * 4 if want_rowcol else 0)
+                 + (9 + nplanes) * LANES * 4)
+        out_cell = (1 if want_trace else 0) + \
+            (4 * nplanes if want_table else 0)
+        per_col = Qc * LANES * (1 + out_cell) * 2      # double-buffered
+        budget = VMEM_BUDGET - fixed
+        if budget < per_col:
             return None
-    nq = Qp // Qc
-    Rpad = (Rp + 7) // 8 * 8
-    ndown = 0 if nq == 1 else (
-        3 if want_trace else (8 if want_stats else 2))
-    # +4 candidate/saturation tracker planes (+3 stats-at-best planes)
-    nstate = 2 + (6 if want_stats else 0) + (nplanes if want_rowcol else 0) \
-        + 4 + (3 if want_stats else 0)
-    # ~live column-loop temporaries (H/E/F/htemp/prefix slabs), measured
-    # against Mosaic's scoped-stack accounting
-    live = 20 if want_stats else 12
-    fixed = ((nstate + live) * Qc * LANES * 4 + ndown * Rpad * LANES * 4
-             + (2 * nplanes * Qc * LANES * 4 if want_rowcol else 0)
-             + (9 + nplanes) * LANES * 4)
-    out_cell = (1 if want_trace else 0) + (4 * nplanes if want_table else 0)
-    per_col = Qc * LANES * (1 + out_cell) * 2      # double-buffered
-    budget = VMEM_BUDGET - fixed
-    if budget < per_col:
-        return None
-    Jt = max(1, min(COL_TILE, Rp, budget // per_col))
-    if Jt != Rp:
-        # ridx/row blocks use Jt as their sublane dim: must divide by 8
-        # (Mosaic tiling) unless it spans the whole array
-        Jt = min(Rp, max(8, Jt // 8 * 8))
-    return Qc, nq, Jt, pl.cdiv(Rp, Jt)
+        Jt = max(1, min(COL_TILE, Rp, budget // per_col))
+        if Jt != Rp:
+            # ridx/row blocks use Jt as their sublane dim: must divide
+            # by 8 (Mosaic tiling) unless it spans the whole array
+            Jt = min(Rp, max(8, Jt // 8 * 8))
+        return Qc, nq, Jt, pl.cdiv(Rp, Jt)
+
+    cands = []
+    if Qp <= 2 * Q_CHUNK:
+        cands.append(Qp)                      # unchunked when possible
+    qc = min(512 if want_stats else Q_CHUNK, Qp)
+    while qc >= 128:
+        if Qp % qc == 0 and qc != Qp:
+            cands.append(qc)
+        qc //= 2
+    for Qc in cands:
+        plan = try_qc(Qc)
+        if plan is not None:
+            return plan
+    return None
 
 
 def scan_fits(Qp, Rp, outputs) -> bool:
