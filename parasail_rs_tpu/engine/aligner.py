@@ -282,19 +282,24 @@ class Aligner:
         return dispatch.pack_pairs(self.matrix, queries, references,
                                    Qp=Qp, Rp=Rp)
 
-    def _run_packed(self, batch, qlens, rlens):
-        out = dispatch.execute(
+    def _execute(self, batch, fetch=True):
+        return dispatch.execute(
             batch,
             gap_open=self.gap_open, gap_extend=self.gap_extend,
             mode=self.key.mode, free=self.key.free,
-            outputs=self.key.outputs, width=self.key.width,
+            outputs=self.key.outputs, width=self.key.width, fetch=fetch,
             on_fallback=lambda route, reason:
                 self.route_counter.update([(route, reason)]),
         )
+
+    def _alignments_from(self, out, qlens, rlens):
         return [
             self._make_alignment(out, b, qlens[b], rlens[b])
             for b in range(len(rlens))
         ]
+
+    def _run_packed(self, batch, qlens, rlens):
+        return self._alignments_from(self._execute(batch), qlens, rlens)
 
     def align_batch(self, queries, references) -> list[Alignment]:
         """Batched alignment — the TPU-native hot path.
@@ -342,10 +347,17 @@ class Aligner:
         rlens = [len(r) for r in refs]
         bins = plan_bins(qlens, rlens, max_cells=max_cells)
         results: list[Alignment | None] = [None] * len(refs)
+        # dispatch every bin before fetching any: device compute of bin k
+        # overlaps host packing of bin k+1 and the fetches at the end
+        pending = []
         for bin_ in bins:
             idx = bin_.indices
-            sub = self._run_packed(*self._pack(
-                qsel(idx), [refs[i] for i in idx], Qp=bin_.qp, Rp=bin_.rp))
+            batch, bql, brl = self._pack(
+                qsel(idx), [refs[i] for i in idx], Qp=bin_.qp, Rp=bin_.rp)
+            pending.append((idx, self._execute(batch, fetch=False),
+                            bql, brl))
+        for idx, pend, bql, brl in pending:
+            sub = self._alignments_from(pend.fetch(), bql, brl)
             for i, aln in zip(idx, sub):
                 results[i] = aln
         return results
