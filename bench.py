@@ -32,7 +32,7 @@ import numpy as np
 CHILD_TIMEOUT = 420          # parent's patience per TPU attempt (s)
 WEDGE_COOLDOWN = 240         # s to wait for the tunnel claim to reset
 WINDOW_TIMEOUT = 90          # per-window watchdog (s)
-WINDOWS = (2, 4, 8, 16, 32, 32, 32)   # chained-kernel calls per window
+WINDOWS = (1, 2, 4, 8, 16, 32, 32, 32)   # chained-kernel calls per window
 
 
 def main():
