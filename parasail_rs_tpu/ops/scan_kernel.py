@@ -147,14 +147,61 @@ def _prefix_masks(ii, n):
     """Loop-invariant masks for the Hillis-Steele prefix steps.
 
     Computed ONCE outside the column loop so the per-column scans pay
-    only the roll+select+max, not the iota comparisons.
+    only the roll+select+max, not the iota comparisons.  Also carries
+    the block-decomposition masks for the two-level scan (8-row blocks:
+    the sublane tile size).
     """
     masks = {0: ii == 0}
     s = 1
     while s < n:
         masks[s] = ii >= s
         s *= 2
+    if n % 8 == 0 and n >= 32:
+        im = ii % 8
+        for s in (1, 2, 4):
+            masks[("b", s)] = im >= s
+        masks["bstart"] = im == 0
+        nbk = n // 8
+        ib = jax.lax.broadcasted_iota(I32, (nbk, LANES), 0)
+        s = 1
+        while s < nbk:
+            masks[("k", s)] = ib >= s
+            s *= 2
+        masks["k0"] = ib == 0
     return masks
+
+
+def _prefix_max_exclusive2(a, masks, seed):
+    """Two-level exclusive (max) prefix: 8-row block-local scan + a
+    cross-block scan on the (n/8)-row block-max slab.
+
+    Same result as :func:`_prefix_max_exclusive` with ~1/3 fewer
+    full-slab ops — the cross-block Hillis-Steele runs on a slab 8x
+    smaller.  Requires n % 8 == 0 (every bucket is).
+    """
+    n = a.shape[0]
+    nbk = n // 8
+    # 1) block-local INCLUSIVE scan (3 masked shift+max steps)
+    x = a
+    for s in (1, 2, 4):
+        x = jnp.maximum(
+            x, jnp.where(masks[("b", s)], jnp.roll(x, s, axis=0),
+                         NEG_INF32))
+    # 2) per-block maxes -> (nbk, LANES)
+    xb = x.reshape(nbk, 8, LANES)[:, 7, :]
+    # 3) seeded EXCLUSIVE scan over blocks (slab 8x smaller)
+    y = jnp.where(masks["k0"], seed, jnp.roll(xb, 1, axis=0))
+    s = 1
+    while s < nbk:
+        y = jnp.maximum(
+            y, jnp.where(masks[("k", s)], jnp.roll(y, s, axis=0),
+                         NEG_INF32))
+        s *= 2
+    # 4) broadcast block carries back to rows
+    yb = jnp.broadcast_to(y[:, None, :], (nbk, 8, LANES)).reshape(n, LANES)
+    # 5) exclusive within block + combine
+    xs = jnp.where(masks["bstart"], NEG_INF32, jnp.roll(x, 1, axis=0))
+    return jnp.maximum(yb, xs)
 
 
 def _prefix_max_exclusive(a, masks, seed):
@@ -509,7 +556,10 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 E = pm - e_base
                 El = Elm + ig
             else:
-                pm = _prefix_max_exclusive(a, pmasks, seed)
+                if ("b", 1) in pmasks:
+                    pm = _prefix_max_exclusive2(a, pmasks, seed)
+                else:
+                    pm = _prefix_max_exclusive(a, pmasks, seed)
                 E = pm - e_base
             H = jnp.maximum(htemp, E)
 
