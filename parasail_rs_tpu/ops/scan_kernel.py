@@ -246,6 +246,35 @@ def _prefix_argmax_exclusive(a, payloads, masks, seed, seed_payloads):
     return x, ps
 
 
+def _prefix_cummax_exclusive(a, masks, seed):
+    """Exclusive seeded prefix max via the native lax.cummax lowering."""
+    cm = jax.lax.cummax(a, axis=0)
+    return jnp.maximum(seed, jnp.where(masks[0], NEG_INF32,
+                                       jnp.roll(cm, 1, axis=0)))
+
+
+_PREFIX_IMPLS = {
+    "flat": _prefix_max_exclusive,
+    "two": _prefix_max_exclusive2,
+    "cummax": _prefix_cummax_exclusive,
+}
+
+
+def _prefix_impl(a, masks, seed):
+    """Pluggable scalar-prefix implementation (PT_PREFIX_IMPL env knob,
+    perf experiments only — all three are bit-identical).  Default:
+    flat Hillis-Steele, the fastest measured on v5e; the two-level
+    variant's relayouts cost more than its saved ops, cummax depends on
+    the Mosaic lowering."""
+    import os
+
+    name = os.environ.get("PT_PREFIX_IMPL", "flat")
+    impl = _PREFIX_IMPLS.get(name, _prefix_max_exclusive)
+    if impl is _prefix_max_exclusive2 and ("b", 1) not in masks:
+        impl = _prefix_max_exclusive
+    return impl(a, masks, seed)
+
+
 def stats_pack_params(qp_total, rlen_total, resume=False, stream=False):
     """Bit-field layout for packing the three stats planes (matches,
     similar, length) into ONE int32 plane: [m | s | l+OFFL].
@@ -556,10 +585,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 E = pm - e_base
                 El = Elm + ig
             else:
-                if ("b", 1) in pmasks:
-                    pm = _prefix_max_exclusive2(a, pmasks, seed)
-                else:
-                    pm = _prefix_max_exclusive(a, pmasks, seed)
+                pm = _prefix_impl(a, pmasks, seed)
                 E = pm - e_base
             H = jnp.maximum(htemp, E)
 

@@ -39,6 +39,40 @@ def test_midrange_routes_to_pallas(monkeypatch):
     assert route == "pallas", reason
 
 
+@pytest.mark.parametrize("impl", ["flat", "two", "cummax"])
+def test_prefix_impls_bit_identical(impl, monkeypatch):
+    """The PT_PREFIX_IMPL perf knob must never change results."""
+    monkeypatch.setenv("PT_PREFIX_IMPL", impl)
+    m = Matrix.create(b"ACGT", 2, -3)
+    rng = np.random.default_rng(7)
+    B = LANES
+    prof = np.zeros((B, 64, m.size), np.int32)
+    ridx = np.zeros((B, 64), np.int32)
+    qlen = np.zeros(B, np.int32)
+    rlen = np.zeros(B, np.int32)
+    from parasail_rs_tpu.engine.profile import profile_rows
+
+    pairs = []
+    for b in range(4):
+        q = rng.choice(list(b"ACGT"), size=rng.integers(30, 64)).astype(
+            "uint8").tobytes()
+        r = rng.choice(list(b"ACGT"), size=rng.integers(30, 64)).astype(
+            "uint8").tobytes()
+        pairs.append((q, r))
+        qi, ri = m.encode(q), m.encode(r)
+        prof[b, :len(qi)] = profile_rows(m, qi)
+        ridx[b, :len(ri)] = ri
+        qlen[b], rlen[b] = len(qi), len(ri)
+    qlen[4:] = 8
+    rlen[4:] = 8
+    out = scan_score_align(
+        prof, ridx, qlen, rlen, open_=10, ext=1, mode="sw",
+        free=(True,) * 4, width="32", outputs="score", interpret=True)
+    for b, (q, r) in enumerate(pairs):
+        g = golden.align_seqs(q, r, m, 10, 1, "sw")
+        assert int(np.asarray(out["score"])[b]) == g.score, (impl, b)
+
+
 def test_midrange_chunked_scan_matches_golden():
     """A 1536-bucket pair batch through the (newly) chunked scan plan."""
     m = Matrix.create(b"ACGT", 2, -3)
