@@ -348,7 +348,6 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             hm, hs, hl = refs.pop(0), refs.pop(0), refs.pop(0)
             fm, fs, fl = refs.pop(0), refs.pop(0), refs.pop(0)
         col_scratch = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
-        cand_scr = refs.pop(0)      # (4 [+3 stats], Qc, LANES) trackers
         htop_scr = refs.pop(0)
         if chunked:
             dH, dPM = refs.pop(0), refs.pop(0)
@@ -394,22 +393,6 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             if banded:
                 base = jnp.where(jnp.asarray(c) <= bw, base, neg)
             return base
-
-        # Per-block running trackers replace per-column reductions: best-H
-        # and its column per query row, running masked min/max H for the
-        # saturation flags (+ stats planes of the best cell).  Reduced
-        # ONCE into acc after the column loop.
-        cand_scr[0] = jnp.full((Qc, LANES), neg, I32)
-        cand_scr[1] = jnp.full((Qc, LANES), BIG, I32)
-        if detect8 or detect16:
-            cand_scr[2] = jnp.zeros((Qc, LANES), I32)
-            cand_scr[3] = jnp.zeros((Qc, LANES), I32)
-        if want_stats and packed:
-            cand_scr[4] = jnp.zeros((Qc, LANES), I32)
-        elif want_stats:
-            cand_scr[4] = jnp.zeros((Qc, LANES), I32)
-            cand_scr[5] = jnp.zeros((Qc, LANES), I32)
-            cand_scr[6] = jnp.zeros((Qc, LANES), I32)
 
         @pl.when((tq == 0) & (jblk == 0))
         def _init_acc():
@@ -464,18 +447,44 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             for cs in col_scratch:
                 cs[:] = jnp.zeros((Qc, LANES), I32)
 
-        def col(jj, _):
+        # Per-column DP state rides the fori-loop CARRY (vector registers
+        # / compiler-managed stack) instead of VMEM scratch round-trips —
+        # the refs only persist state across grid steps (read before the
+        # loop, written back after).  The candidate/saturation trackers
+        # live purely in the carry: best-H and its column per query row,
+        # running masked min/max H for the saturation flags (+ stats of
+        # the best cell), reduced ONCE into acc after the loop.
+        nhrows = htop_scr.shape[0]
+        st0 = {
+            "hp": hprev[:], "fp": fprev[:],
+            "htop": tuple(htop_scr[r:r + 1, :] for r in range(nhrows)),
+            "stats": ((hm[:], fm[:]) if (want_stats and packed) else
+                      (hm[:], hs[:], hl[:], fm[:], fs[:], fl[:])
+                      if want_stats else ()),
+            "colcap": tuple(cs[:] for cs in col_scratch),
+            "cand": (jnp.full((Qc, LANES), neg, I32),
+                     jnp.full((Qc, LANES), BIG, I32))
+                    + ((jnp.zeros((Qc, LANES), I32),
+                        jnp.zeros((Qc, LANES), I32))
+                       if (detect8 or detect16) else ())
+                    + (((jnp.zeros((Qc, LANES), I32),) if packed else
+                        (jnp.zeros((Qc, LANES), I32),) * 3)
+                       if want_stats else ()),
+        }
+
+        def col(jj, st):
             jl = jblk * Jt + jj          # segment-local column (scratch)
             j = j0 + jl                  # global column (boundaries, coords)
             s = scol_ref[0, jj, :, :].astype(I32)       # (Qc, LANES)
-            hp = hprev[:]
-            fp = fprev[:]
+            hp = st["hp"]
+            fp = st["fp"]
+            htop_rows = st["htop"]
 
             from_open_f = hp - open_ >= fp - ext
             F = jnp.maximum(hp - open_, fp - ext)
             # Diagonal predecessor of the chunk's top row: H[r0-1, j-1],
-            # carried column-to-column through htop_scr.
-            htopd = htop_scr[0:1, :]
+            # carried column-to-column through the htop carry.
+            htopd = htop_rows[0]
             hdiag = jnp.where(pmasks[0], htopd, jnp.roll(hp, 1, axis=0))
             diag = hdiag + s
             htemp = jnp.maximum(diag, F)
@@ -512,12 +521,12 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 qidx_c = qidx_ref[0, :, :]                    # (Qc, LANES)
                 ridx_c = ridx_ref[0, pl.ds(jj, 1), :]         # (1, LANES)
                 im = (qidx_c == ridx_c).astype(I32)
-                hp_msl = hm[:]
-                msl_d = jnp.where(pmasks[0], htop_scr[1:2, :],
+                hp_msl = st["stats"][0]
+                msl_d = jnp.where(pmasks[0], htop_rows[1],
                                   jnp.roll(hp_msl, 1, axis=0))
                 D_msl = msl_d + (im * (1 << SH_M)
                                  + (s > 0).astype(I32) * (1 << SH_S) + 1)
-                F_msl = jnp.where(from_open_f, hp_msl, fm[:]) + 1
+                F_msl = jnp.where(from_open_f, hp_msl, st["stats"][1]) + 1
                 t_diag = diag >= F
                 T_msl = jnp.where(t_diag, D_msl, F_msl)
                 if local:
@@ -544,22 +553,22 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 qidx_c = qidx_ref[0, :, :]                    # (Qc, LANES)
                 ridx_c = ridx_ref[0, pl.ds(jj, 1), :]         # (1, LANES)
                 im = (qidx_c == ridx_c).astype(I32)
-                hm_p, hs_p, hl_p = hm[:], hs[:], hl[:]
+                hm_p, hs_p, hl_p = st["stats"][0:3]
                 # diagonal-predecessor stats at the chunk's top row come
                 # from the column carry (boundary values for the top
                 # chunk, the previous chunk's last row otherwise)
-                m_d = jnp.where(pmasks[0], htop_scr[1:2, :],
+                m_d = jnp.where(pmasks[0], htop_rows[1],
                                 jnp.roll(hm_p, 1, axis=0))
-                s_d = jnp.where(pmasks[0], htop_scr[2:3, :],
+                s_d = jnp.where(pmasks[0], htop_rows[2],
                                 jnp.roll(hs_p, 1, axis=0))
-                l_d = jnp.where(pmasks[0], htop_scr[3:4, :],
+                l_d = jnp.where(pmasks[0], htop_rows[3],
                                 jnp.roll(hl_p, 1, axis=0))
                 Dm = m_d + im
                 Ds = s_d + (s > 0).astype(I32)
                 Dl = l_d + 1
-                Fm = jnp.where(from_open_f, hm_p, fm[:])
-                Fs = jnp.where(from_open_f, hs_p, fs[:])
-                Fl = jnp.where(from_open_f, hl_p, fl[:]) + 1
+                Fm = jnp.where(from_open_f, hm_p, st["stats"][3])
+                Fs = jnp.where(from_open_f, hs_p, st["stats"][4])
+                Fl = jnp.where(from_open_f, hl_p, st["stats"][5]) + 1
                 # Htemp stats: which of diag/F won (clamp resets later)
                 t_diag = diag >= F
                 Tm = jnp.where(t_diag, Dm, Fm)
@@ -596,7 +605,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                                   jnp.where(take_e, E_msl, F_msl))
                 if local:
                     H_msl = jnp.where(H <= 0, OFFL, H_msl)
-                hm[:], fm[:] = H_msl, F_msl
+                new_stats = (H_msl, F_msl)
             elif want_stats:
                 take_diag = (diag >= E) & (diag >= F)
                 take_e = (~take_diag) & (E >= F)
@@ -608,8 +617,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     Hm = jnp.where(z, 0, Hm)
                     Hs = jnp.where(z, 0, Hs)
                     Hl = jnp.where(z, 0, Hl)
-                hm[:], hs[:], hl[:] = Hm, Hs, Hl
-                fm[:], fs[:], fl[:] = Fm, Fs, Fl
+                new_stats = (Hm, Hs, Hl, Fm, Fs, Fl)
 
             if want_trace:
                 # Trace flags by the Gotoh comparisons, bit-identical to
@@ -636,9 +644,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
 
             if banded:
                 H = jnp.where(in_band, H, neg)
-            hprev[:] = H
-            fprev[:] = F
-            htop_scr[0:1, :] = toph
+            new_htop = (toph,)
             if want_stats and packed:
                 # packed stats of the cell above at column j: m = s = 0,
                 # l = boundary length -> value top_l + OFFL
@@ -646,26 +652,22 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 top_p = ((jnp.int32(0) if (qb or local) else j + 1)
                          + OFFL) * ones1
                 if chunked:
-                    htop_scr[1:2, :] = jnp.where(
-                        tq == 0, top_p, dHm[pl.ds(jl, 1), :])
+                    new_htop += (jnp.where(
+                        tq == 0, top_p, dHm[pl.ds(jl, 1), :]),)
                 else:
-                    htop_scr[1:2, :] = top_p
+                    new_htop += (top_p,)
             elif want_stats:
                 # stats of the cell above at column j, carried for the
                 # next column's diagonal
                 ones1 = jnp.ones((1, LANES), I32)
                 top_l1 = (jnp.int32(0) if (qb or local) else j + 1) * ones1
                 if chunked:
-                    htop_scr[1:2, :] = jnp.where(
-                        tq == 0, 0 * ones1, dHm[pl.ds(jl, 1), :])
-                    htop_scr[2:3, :] = jnp.where(
-                        tq == 0, 0 * ones1, dHs[pl.ds(jl, 1), :])
-                    htop_scr[3:4, :] = jnp.where(
-                        tq == 0, top_l1, dHl[pl.ds(jl, 1), :])
+                    new_htop += (
+                        jnp.where(tq == 0, 0 * ones1, dHm[pl.ds(jl, 1), :]),
+                        jnp.where(tq == 0, 0 * ones1, dHs[pl.ds(jl, 1), :]),
+                        jnp.where(tq == 0, top_l1, dHl[pl.ds(jl, 1), :]))
                 else:
-                    htop_scr[1:2, :] = 0 * ones1
-                    htop_scr[2:3, :] = 0 * ones1
-                    htop_scr[3:4, :] = top_l1
+                    new_htop += (0 * ones1, 0 * ones1, top_l1)
             if chunked:
                 dH[pl.ds(jl, 1), :] = H[Qc - 1:Qc, :]
                 if want_stats and packed:
@@ -717,14 +719,18 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                         axis=0, keepdims=True)
                 # last reference column (captured when j == rlen-1)
                 colsel = (j == rlen - 1) & imask
-                for cs, P in zip(col_scratch, planes):
-                    cs[:] = jnp.where(colsel, P, cs[:])
+                new_colcap = tuple(
+                    jnp.where(colsel, P, c)
+                    for c, P in zip(st["colcap"], planes))
+            else:
+                new_colcap = st["colcap"]
             # Saturation tracking: running masked min/max of H — the flag
             # comparisons happen once per block, not per column.
+            cand = list(st["cand"])
             if detect8 or detect16:
                 Hmasked = jnp.where(inseq, H, 0)
-                cand_scr[2] = jnp.maximum(cand_scr[2], Hmasked)
-                cand_scr[3] = jnp.minimum(cand_scr[3], Hmasked)
+                cand[2] = jnp.maximum(cand[2], Hmasked)
+                cand[3] = jnp.minimum(cand[3], Hmasked)
 
             # End-cell candidates: per-row running best (strict > keeps the
             # earliest column per row — the reference's j-ascending tie
@@ -732,40 +738,63 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             last_row = ig == qlen - 1
             last_col = j == rlen - 1
             if local:
-                cand = inseq & (H > 0)
+                sel_c = inseq & (H > 0)
             elif mode == "sg":
                 sel = last_row & last_col
                 if qe:
                     sel = sel | last_row
                 if de:
                     sel = sel | last_col
-                cand = inseq & sel
+                sel_c = inseq & sel
             else:
-                cand = last_row & last_col & inseq
-            upd = cand & (H > cand_scr[0])
-            cand_scr[0] = jnp.where(upd, H, cand_scr[0])
-            cand_scr[1] = jnp.where(upd, j, cand_scr[1])
+                sel_c = last_row & last_col & inseq
+            ci = 4 if (detect8 or detect16) else 2
+            upd = sel_c & (H > cand[0])
+            cand[0] = jnp.where(upd, H, cand[0])
+            cand[1] = jnp.where(upd, j, cand[1])
             if want_stats and packed:
-                cand_scr[4] = jnp.where(upd, H_msl, cand_scr[4])
+                cand[ci] = jnp.where(upd, H_msl, cand[ci])
             elif want_stats:
-                cand_scr[4] = jnp.where(upd, Hm, cand_scr[4])
-                cand_scr[5] = jnp.where(upd, Hs, cand_scr[5])
-                cand_scr[6] = jnp.where(upd, Hl, cand_scr[6])
-            return 0
+                cand[ci] = jnp.where(upd, Hm, cand[ci])
+                cand[ci + 1] = jnp.where(upd, Hs, cand[ci + 1])
+                cand[ci + 2] = jnp.where(upd, Hl, cand[ci + 2])
+            return {
+                "hp": H, "fp": F, "htop": new_htop,
+                "stats": new_stats if want_stats else (),
+                "colcap": new_colcap if want_rowcol else (),
+                "cand": tuple(cand),
+            }
 
         ncols = jnp.minimum(Jt, rlen_total - jblk * Jt)
-        jax.lax.fori_loop(0, ncols, col, 0)
+        stf = jax.lax.fori_loop(0, ncols, col, st0)
+
+        # Persist the cross-grid-step state back to the scratch refs
+        # (the next column block / streamed segment continues from it).
+        hprev[:] = stf["hp"]
+        fprev[:] = stf["fp"]
+        for r in range(nhrows):
+            htop_scr[r:r + 1, :] = stf["htop"][r]
+        if want_stats and packed:
+            hm[:], fm[:] = stf["stats"]
+        elif want_stats:
+            for dst, val in zip((hm, hs, hl, fm, fs, fl), stf["stats"]):
+                dst[:] = val
+        for cs, val in zip(col_scratch, stf["colcap"]):
+            cs[:] = val
+        candf = stf["cand"]
+        ci = 4 if (detect8 or detect16) else 2
 
         # Reduce this block's trackers into the cross-block accumulator
         # (same lexicographic rule as the old per-column update: H desc,
         # then i asc; earlier blocks keep ties, preserving j asc).
-        cb = cand_scr[0]
+        cb = candf[0]
         step_best = cb.max(axis=0, keepdims=True)               # (1, LANES)
         rowhit = cb == step_best
         step_i = jnp.where(rowhit, ig, I32(qp_total)).min(axis=0,
                                                           keepdims=True)
         selrow = rowhit & (ig == step_i)
-        step_j = jnp.where(selrow, cand_scr[1], 0).sum(axis=0, keepdims=True)
+        step_j = jnp.where(selrow, candf[1], 0).sum(axis=0,
+                                            keepdims=True)
         best, bi = acc[0:1, :], acc[1:2, :]
         better = (step_best > best) | (
             (step_best == best) & (step_best > neg) & (step_i < bi))
@@ -773,7 +802,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         acc[1:2, :] = jnp.where(better, step_i, bi)
         acc[2:3, :] = jnp.where(better, step_j, acc[2:3, :])
         if want_stats and packed:
-            msl = jnp.where(selrow, cand_scr[4], 0).sum(
+            msl = jnp.where(selrow, candf[ci], 0).sum(
                 axis=0, keepdims=True)
             m_v = jnp.right_shift(msl, SH_M)
             s_v = jnp.bitwise_and(jnp.right_shift(msl, SH_S),
@@ -783,19 +812,19 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             acc[6:7, :] = jnp.where(better, s_v, acc[6:7, :])
             acc[7:8, :] = jnp.where(better, l_v, acc[7:8, :])
         elif want_stats:
-            pick = lambda k: jnp.where(selrow, cand_scr[k], 0).sum(
+            pick = lambda k: jnp.where(selrow, candf[k], 0).sum(
                 axis=0, keepdims=True)
-            acc[5:6, :] = jnp.where(better, pick(4), acc[5:6, :])
-            acc[6:7, :] = jnp.where(better, pick(5), acc[6:7, :])
-            acc[7:8, :] = jnp.where(better, pick(6), acc[7:8, :])
+            acc[5:6, :] = jnp.where(better, pick(ci), acc[5:6, :])
+            acc[6:7, :] = jnp.where(better, pick(ci + 1), acc[6:7, :])
+            acc[7:8, :] = jnp.where(better, pick(ci + 2), acc[7:8, :])
         if detect8:
-            hit8 = ((cand_scr[2] >= WIDTH_MAX["8"]) |
-                    (cand_scr[3] <= WIDTH_MIN["8"]))
+            hit8 = ((candf[2] >= WIDTH_MAX["8"]) |
+                    (candf[3] <= WIDTH_MIN["8"]))
             acc[3:4, :] = acc[3:4, :] | hit8.any(
                 axis=0, keepdims=True).astype(I32)
         if detect16:
-            hit16 = ((cand_scr[2] >= WIDTH_MAX["16"]) |
-                     (cand_scr[3] <= WIDTH_MIN["16"]))
+            hit16 = ((candf[2] >= WIDTH_MAX["16"]) |
+                     (candf[3] <= WIDTH_MIN["16"]))
             acc[4:5, :] = acc[4:5, :] | hit16.any(
                 axis=0, keepdims=True).astype(I32)
 
@@ -962,9 +991,6 @@ def scan_score_align(
                     for _ in range(2 if packed else 6)]
     if want_rowcol:
         scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(nplanes)]
-    scratch.append(pltpu.VMEM(
-        (5 if packed else (7 if want_stats else 4), Qc, LANES),
-        I32))   # cand/sat trackers
     scratch.append(pltpu.VMEM(
         ((2 if packed else 4) if want_stats else 1, LANES),
         I32))    # htop carry
@@ -1160,8 +1186,6 @@ def scan_score_segment(
     ]
     if want_stats:
         scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
-    scratch.append(pltpu.VMEM(
-        (7 if want_stats else 4, Qc, LANES), I32))   # cand/sat trackers
     scratch.append(pltpu.VMEM((TROWS, LANES), I32))  # htop carry
     if nq > 1:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),
