@@ -182,7 +182,8 @@ def _run_tpu(scratch):
         return scan_score_align(
             profile, ridx, ql, rlen,
             open_=np.int32(11), ext=np.int32(1),
-            mode="sw", free=(True,) * 4, width="sat", interpret=False)
+            mode="sw", free=(True,) * 4, width="sat", interpret=False,
+            hmax_bound=8192)  # (smax 12 + open 11 + ext 1) * 320, pow2
 
     t0 = time.time()
     try:
@@ -209,8 +210,12 @@ def _run_tpu(scratch):
             dt = _with_timeout(window, WINDOW_TIMEOUT)
         except Exception as e:
             print(f"[bench] window iters={iters} failed: "
-                  f"{type(e).__name__}: {e}; stopping windows", file=sys.stderr)
-            break  # a wedged runtime won't recover mid-process
+                  f"{type(e).__name__}: {e}; trying the next window",
+                  file=sys.stderr)
+            # the first sustained burst after process start often wedges
+            # for minutes then recovers; a truly dead runtime is bounded
+            # by the parent's CHILD_TIMEOUT watchdog either way
+            continue
         res["windows"].append({"iters": iters, "dt": dt})
         _write_json(scratch, res)
         print(f"[bench] window iters={iters}: {dt/iters*1e3:.2f} ms/call",
@@ -242,7 +247,7 @@ def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B):
             profile, ridx, ql, rlen, qidx,
             open_=np.int32(11), ext=np.int32(1),
             mode="sw", free=(True,) * 4, width="sat", outputs="stats",
-            interpret=False)
+            interpret=False, hmax_bound=8192)
 
     try:
         _with_timeout(lambda: jax.block_until_ready(run(qlen)["score"]), 180)

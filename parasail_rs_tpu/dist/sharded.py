@@ -70,7 +70,8 @@ def plan_sharded_route(
 
 @functools.lru_cache(maxsize=128)
 def _sharded_fn(mesh: Mesh, mode: str, free, outputs: str, width: str,
-                shared: bool, kernel: str, interpret: bool):
+                shared: bool, kernel: str, interpret: bool,
+                hmax_bound=None):
     """jit(shard_map(kernel)) for one (mesh, config) combination, cached so
     repeated dispatches reuse the compiled executable."""
     from .seqpar import _shard_map
@@ -83,7 +84,8 @@ def _sharded_fn(mesh: Mesh, mode: str, free, outputs: str, width: str,
             return scan_score_align(
                 profile, ridx, qlen, rlen, qidx if want_stats else None,
                 open_=open_, ext=ext, mode=mode, free=free, width=width,
-                outputs=outputs, interpret=interpret)
+                outputs=outputs, interpret=interpret,
+                hmax_bound=hmax_bound)
         return wavefront_align(
             profile, qidx, ridx, qlen, rlen, open_=open_, ext=ext,
             mode=mode, free=free, outputs=outputs, width=width)
@@ -151,8 +153,14 @@ def sharded_align(
                               batch_sharding)
 
     interpret = jax.default_backend() != "tpu"
+    hb = None
+    if route == "scan":
+        # packed-candidate gate (see engine.dispatch._hmax_bound)
+        smax = int(max(abs(int(profile.min())), abs(int(profile.max()))))
+        raw = (smax + int(open_) + int(ext)) * (Qp + Rp)
+        hb = 1 << max(1, raw - 1).bit_length()
     fn = _sharded_fn(mesh, mode, tuple(free), outputs, width, shared,
-                     route, interpret)
+                     route, interpret, hb)
     out = fn(
         put(profile if shared else padb(profile), shared),
         put(qidx if shared else padb(qidx), shared),

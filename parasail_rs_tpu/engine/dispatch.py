@@ -403,7 +403,7 @@ _SCAN_JIT_CACHE: dict = {}
 
 
 def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
-                  width, outputs, banded, interpret):
+                  width, outputs, banded, interpret, hmax_bound=None):
     """One jitted function covering the whole device path of a Pallas
     dispatch: byte->index encode (bytes paths ship raw uint8, 4x less
     transfer), device-side profile construction (table path), the scan
@@ -412,7 +412,7 @@ def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
     output.  Eagerly dispatching these ops one by one costs a tunnel
     round-trip each (~100+ ms per batch on the dev TPU)."""
     key = (table_path, qbytes_path, rbytes_path, stats, mode, free, width,
-           outputs, banded, interpret)
+           outputs, banded, interpret, hmax_bound)
     if key in _SCAN_JIT_CACHE:
         return _SCAN_JIT_CACHE[key]
     import jax
@@ -449,7 +449,7 @@ def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
             prof, ridx, qlen, rlen, qidx if stats else None,
             open_=open_, ext=ext, mode=mode, free=free, width=width,
             outputs=outputs, banded=banded, bandwidth=bandwidth,
-            interpret=interpret)
+            interpret=interpret, hmax_bound=hmax_bound)
         scalars = {k: v for k, v in out.items() if v.ndim == 1}
         big = {k: v for k, v in out.items() if v.ndim > 1}
         names = tuple(sorted(scalars))
@@ -526,7 +526,9 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
               else np.zeros(256, np.int32))
     fn, meta = _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats,
                              mode, free, width, outputs, banded,
-                             jax.default_backend() != "tpu")
+                             jax.default_backend() != "tpu",
+                             hmax_bound=_hmax_bound(batch, gap_open,
+                                                    gap_extend))
     packed, big = fn(
         batch.table if table_path else
         (batch.profile if shared else padb(batch.profile)),
@@ -536,6 +538,21 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
     if not fetch:
         return PendingResult(packed_form=(names, packed, big, B))
     return _unpack_scalars(names, np.asarray(packed), big, B)
+
+
+def _hmax_bound(batch, gap_open, gap_extend):
+    """Static upper bound on |H| over every DP cell of the batch,
+    quantized up to a power of two (so distinct matrices/gap regimes
+    mostly share one compiled kernel).  Every cell satisfies
+    |H| <= (max|s| + open + ext) * (Qp + Rp): positive values gain at
+    most max|s| per diagonal step, negative values lose at most
+    open + ext + max|s| per step over <= Qp + Rp steps.  Feeds the
+    packed candidate tracker gate (ops/scan_kernel.py:cand_pack_params).
+    """
+    smax = int(max(abs(int(batch.score_values.min())),
+                   abs(int(batch.score_values.max()))))
+    raw = (smax + int(gap_open) + int(gap_extend)) * (batch.qp + batch.rp)
+    return 1 << max(1, raw - 1).bit_length()
 
 
 STREAM_SEG = 2048      # reference columns per streamed segment

@@ -295,10 +295,38 @@ def stats_pack_params(qp_total, rlen_total, resume=False, stream=False):
     return True, bm + bl, bl, qp_total
 
 
+def cand_pack_params(rlen_total, hmax_bound, banded=False, resume=False,
+                     stream=False):
+    """Bit-field layout for packing the end-cell candidate trackers
+    (best H, best j) into ONE carried plane: [H | (P-1-j)].
+
+    The fori-loop carry is the scan kernel's scarcest resource — each
+    carried (Qc, LANES) plane costs ~1 ms per 8192x150bp batch in loop
+    state traffic on v5e (measured, tools/perf_lab.py), an order of
+    magnitude more than the handful of slab ops it replaces.  Packing is
+    exact when every achievable |H| stays below 2^30 / P (P = columns
+    rounded up to a power of two): the packed values order
+    lexicographically by (H desc, j asc) — max-reduction reproduces the
+    reference's tie preference (H desc, then earliest column) — and the
+    -2^30 "no candidate" sentinel stays strictly below any real packed
+    value.  Streamed/resumed segments see global columns beyond
+    rlen_total and banded kernels clamp H to -2^30 outside the band, so
+    neither packs.  Returns (pack?, SHJ, P).
+    """
+    if hmax_bound is None or banded or resume or stream:
+        return False, 0, 1
+    P = 1
+    while P < max(1, rlen_total):
+        P *= 2
+    if (int(hmax_bound) + 2) * P >= 2 ** 30:
+        return False, 0, 1
+    return True, P.bit_length() - 1, P
+
+
 def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                  want_trace=False, want_stats=False,
                  want_table=False, want_rowcol=False, banded=False,
-                 resume=False, stream=False):
+                 resume=False, stream=False, hmax_bound=None):
     """Build the column-sweep kernel body (all config static)."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
@@ -312,6 +340,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
     # table/rowcol classes write the separate stats planes per column, so
     # only the scalar-stats class benefits from packing
     packed = packed and want_stats and not (want_table or want_rowcol)
+    pack_cand, SHJ, PJ = cand_pack_params(
+        rlen_total, hmax_bound, banded, resume, stream)
+    # Local-mode H is clamped at 0, so the running candidate max IS the
+    # matrix-wide H extreme: the saturation flags derive from it after
+    # the loop and the two min/max tracker planes drop out of the carry.
+    track_sat = (detect8 or detect16) and not (local and pack_cand)
+    # candidate-tuple layout: [packed | best, bj] [smax, smin] [stats...]
+    si = 1 if pack_cand else 2
+    ci = si + (2 if track_sat else 0)
 
     def kernel(*refs):
         refs = list(refs)
@@ -462,11 +499,12 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                       (hm[:], hs[:], hl[:], fm[:], fs[:], fl[:])
                       if want_stats else ()),
             "colcap": tuple(cs[:] for cs in col_scratch),
-            "cand": (jnp.full((Qc, LANES), neg, I32),
-                     jnp.full((Qc, LANES), BIG, I32))
+            "cand": ((jnp.full((Qc, LANES), neg, I32),) if pack_cand else
+                     (jnp.full((Qc, LANES), neg, I32),
+                      jnp.full((Qc, LANES), BIG, I32)))
                     + ((jnp.zeros((Qc, LANES), I32),
                         jnp.zeros((Qc, LANES), I32))
-                       if (detect8 or detect16) else ())
+                       if track_sat else ())
                     + (((jnp.zeros((Qc, LANES), I32),) if packed else
                         (jnp.zeros((Qc, LANES), I32),) * 3)
                        if want_stats else ()),
@@ -725,12 +763,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             else:
                 new_colcap = st["colcap"]
             # Saturation tracking: running masked min/max of H — the flag
-            # comparisons happen once per block, not per column.
+            # comparisons happen once per block, not per column.  With
+            # pack_cand in local mode these planes are elided (H >= 0 and
+            # the candidate tracker covers every positive cell, so the
+            # extremes derive from it after the loop).
             cand = list(st["cand"])
-            if detect8 or detect16:
+            if track_sat:
                 Hmasked = jnp.where(inseq, H, 0)
-                cand[2] = jnp.maximum(cand[2], Hmasked)
-                cand[3] = jnp.minimum(cand[3], Hmasked)
+                cand[si] = jnp.maximum(cand[si], Hmasked)
+                cand[si + 1] = jnp.minimum(cand[si + 1], Hmasked)
 
             # End-cell candidates: per-row running best (strict > keeps the
             # earliest column per row — the reference's j-ascending tie
@@ -748,10 +789,17 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 sel_c = inseq & sel
             else:
                 sel_c = last_row & last_col & inseq
-            ci = 4 if (detect8 or detect16) else 2
-            upd = sel_c & (H > cand[0])
-            cand[0] = jnp.where(upd, H, cand[0])
-            cand[1] = jnp.where(upd, j, cand[1])
+            if pack_cand:
+                # [H | P-1-j] in one carried plane: max-reduce keeps
+                # (H desc, j asc), identical to the strict-> update
+                candidate = jnp.where(
+                    sel_c, (H << SHJ) | (PJ - 1 - j), neg)
+                upd = candidate > cand[0]
+                cand[0] = jnp.maximum(cand[0], candidate)
+            else:
+                upd = sel_c & (H > cand[0])
+                cand[0] = jnp.where(upd, H, cand[0])
+                cand[1] = jnp.where(upd, j, cand[1])
             if want_stats and packed:
                 cand[ci] = jnp.where(upd, H_msl, cand[ci])
             elif want_stats:
@@ -782,18 +830,23 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         for cs, val in zip(col_scratch, stf["colcap"]):
             cs[:] = val
         candf = stf["cand"]
-        ci = 4 if (detect8 or detect16) else 2
 
         # Reduce this block's trackers into the cross-block accumulator
         # (same lexicographic rule as the old per-column update: H desc,
         # then i asc; earlier blocks keep ties, preserving j asc).
-        cb = candf[0]
+        if pack_cand:
+            # decode [H | P-1-j]: arithmetic shift floors negative
+            # sentinels; the low-bit mask works on two's complement
+            cb = candf[0] >> SHJ
+            rowj = (PJ - 1) - (candf[0] & (PJ - 1))
+        else:
+            cb, rowj = candf[0], candf[1]
         step_best = cb.max(axis=0, keepdims=True)               # (1, LANES)
         rowhit = cb == step_best
         step_i = jnp.where(rowhit, ig, I32(qp_total)).min(axis=0,
                                                           keepdims=True)
         selrow = rowhit & (ig == step_i)
-        step_j = jnp.where(selrow, candf[1], 0).sum(axis=0,
+        step_j = jnp.where(selrow, rowj, 0).sum(axis=0,
                                             keepdims=True)
         best, bi = acc[0:1, :], acc[1:2, :]
         better = (step_best > best) | (
@@ -817,16 +870,29 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             acc[5:6, :] = jnp.where(better, pick(ci), acc[5:6, :])
             acc[6:7, :] = jnp.where(better, pick(ci + 1), acc[6:7, :])
             acc[7:8, :] = jnp.where(better, pick(ci + 2), acc[7:8, :])
-        if detect8:
-            hit8 = ((candf[2] >= WIDTH_MAX["8"]) |
-                    (candf[3] <= WIDTH_MIN["8"]))
-            acc[3:4, :] = acc[3:4, :] | hit8.any(
-                axis=0, keepdims=True).astype(I32)
-        if detect16:
-            hit16 = ((candf[2] >= WIDTH_MAX["16"]) |
-                     (candf[3] <= WIDTH_MIN["16"]))
-            acc[4:5, :] = acc[4:5, :] | hit16.any(
-                axis=0, keepdims=True).astype(I32)
+        if track_sat:
+            if detect8:
+                hit8 = ((candf[si] >= WIDTH_MAX["8"]) |
+                        (candf[si + 1] <= WIDTH_MIN["8"]))
+                acc[3:4, :] = acc[3:4, :] | hit8.any(
+                    axis=0, keepdims=True).astype(I32)
+            if detect16:
+                hit16 = ((candf[si] >= WIDTH_MAX["16"]) |
+                         (candf[si + 1] <= WIDTH_MIN["16"]))
+                acc[4:5, :] = acc[4:5, :] | hit16.any(
+                    axis=0, keepdims=True).astype(I32)
+        elif detect8 or detect16:
+            # local + pack_cand: H ranges over [0, step_best] — the
+            # candidate tracker covers every positive cell, so the block's
+            # H extreme IS max(step_best, 0) and the negative bound never
+            # trips (H >= 0 in local mode).
+            mx = jnp.maximum(step_best, 0)
+            if detect8:
+                acc[3:4, :] = acc[3:4, :] | (
+                    mx >= WIDTH_MAX["8"]).astype(I32)
+            if detect16:
+                acc[4:5, :] = acc[4:5, :] | (
+                    mx >= WIDTH_MAX["16"]).astype(I32)
 
         @pl.when(jblk == nj - 1)
         def _fini_chunk():
@@ -874,7 +940,7 @@ def build_scol(profile, ridx):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "free", "width", "outputs", "banded",
-                     "interpret"),
+                     "interpret", "hmax_bound"),
 )
 def scan_score_align(
     profile,       # (B or 1, Qp, A) int32
@@ -892,6 +958,7 @@ def scan_score_align(
     banded: bool = False,
     bandwidth=0,
     interpret: bool = False,
+    hmax_bound: int | None = None,
 ):
     """Pallas alignment kernel; same output contract as
     ``wavefront_align`` for every output class.
@@ -900,6 +967,12 @@ def scan_score_align(
     padded buckets.  Scores are exact int32; ``width`` only controls the
     saturation flags (see wavefront_align docstring).  ``scan_fits``
     reports whether a shape/output combination is servable.
+
+    ``hmax_bound`` (static) is an upper bound on |H| over every DP cell
+    — e.g. ``(max|s| + open + ext) * (Qp + Rp)`` — and unlocks the
+    packed end-cell candidate tracker (one carried plane instead of
+    two, plus elided saturation planes in local mode; see
+    :func:`cand_pack_params`).  Results are identical either way.
     """
     want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
     nplanes = 4 if want_stats else 1
@@ -926,7 +999,7 @@ def scan_score_align(
     kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rp, Qp,
                           want_trace=want_trace, want_stats=want_stats,
                           want_table=want_table, want_rowcol=want_rowcol,
-                          banded=banded)
+                          banded=banded, hmax_bound=hmax_bound)
 
     inputs = [gaps, qlen_b, rlen_b, scol]
     in_specs = [

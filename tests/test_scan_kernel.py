@@ -493,3 +493,68 @@ def test_engine_streamed_stats():
         got = (int(out["score"][i]), int(out["matches"][i]),
                int(out["similar"][i]), int(out["length"][i]))
         assert got == (g.score, g.matches, g.similar, g.length), (i, got)
+
+
+@pytest.mark.parametrize("mode,free,outputs", [
+    ("sw", (True, True, True, True), "score"),
+    ("nw", (False, False, False, False), "score"),
+    ("sg", (True, False, False, True), "score"),
+    ("sg", (False, True, True, False), "score"),
+    ("sw", (True, True, True, True), "stats"),
+    ("sg", (True, True, True, True), "stats"),
+    ("sw", (True, True, True, True), "trace"),
+])
+def test_packed_candidate_tracker_matches_unpacked(mode, free, outputs):
+    # hmax_bound unlocks the [H | P-1-j] packed end-cell tracker (and
+    # drops the saturation planes in local mode); every output must be
+    # bit-identical to the two-plane tracker, including tie handling.
+    b = BATCH
+    kw = dict(open_=np.int32(11), ext=np.int32(1), mode=mode, free=free,
+              width="sat", outputs=outputs, interpret=INTERPRET)
+    qidx = b.qidx if outputs == "stats" else None
+    ref = scan_score_align(b.profile, b.ridx, b.qlen, b.rlen, qidx, **kw)
+    got = scan_score_align(b.profile, b.ridx, b.qlen, b.rlen, qidx,
+                           hmax_bound=1 << 14, **kw)
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(ref[k]),
+            err_msg=f"{mode}/{free}/{outputs}/{k}")
+
+
+def test_packed_candidate_tracker_tie_semantics():
+    # A repetitive DNA pair produces many equal-score end candidates;
+    # the packed tracker must keep the reference tie preference
+    # (H desc, end_query asc, end_ref asc) bit-for-bit.
+    m = Matrix.create(b"ACGT", 2, -1)
+    rng = np.random.default_rng(11)
+    qidxs, ridxs, prows = [], [], []
+    for _ in range(128):
+        q = (b"ACAC" * 8)[: rng.integers(8, 30)]
+        r = (b"CACA" * 12)[: rng.integers(8, 44)]
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    b = build_batch(prows, qidxs, ridxs)
+    for mode, free in CONFIGS:
+        kw = dict(open_=np.int32(2), ext=np.int32(1), mode=mode, free=free,
+                  width="sat", outputs="score", interpret=INTERPRET)
+        ref = scan_score_align(b.profile, b.ridx, b.qlen, b.rlen, **kw)
+        got = scan_score_align(b.profile, b.ridx, b.qlen, b.rlen,
+                               hmax_bound=256, **kw)
+        for k in ref:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(ref[k]),
+                err_msg=f"{mode}/{free}/{k}")
+
+
+def test_packed_candidate_gate_rejects_small_bounds():
+    from parasail_rs_tpu.ops.scan_kernel import cand_pack_params
+
+    ok, shj, p = cand_pack_params(160, 8192)
+    assert ok and p == 256 and shj == 8
+    assert cand_pack_params(160, None)[0] is False
+    assert cand_pack_params(160, 8192, banded=True)[0] is False
+    assert cand_pack_params(160, 8192, stream=True)[0] is False
+    # bound too large for the column field: 2^30 / P exceeded
+    assert cand_pack_params(1 << 20, 1 << 12)[0] is False

@@ -4,11 +4,21 @@
 Times stripped-down variants of the score sweep to locate where the
 per-column slab ops go and what int16 packing would buy:
 
-  full      — the real scan_score_align score path (width knob)
+  full      — the real scan_score_align score path (width knob),
+              including the XLA-side one-hot matmul + transpose
+  base      — stripped kernel, all features (kernel-only baseline)
   noprefix  — E replaced by htemp (measures the Hillis-Steele cost)
   nocand    — no candidate/saturation tracking (measures tracker cost)
-  i16       — same recurrence in int16 (2x VPU packing)
-  i16roll   — int16 + pltpu.roll instead of jnp.roll
+  nosub     — no scol load/convert (measures the i8 fetch+sign-extend)
+  u2        — two-column unroll of the fori loop
+  scratch   — DP state in VMEM scratch refs (pre-09395d9 structure)
+              instead of the fori-loop carry
+  packed    — single packed [H | P-1-j] candidate plane (the
+              cand_pack_params structure) instead of best+bj
+  i16       — same recurrence in int16 (2x VPU packing; FAILS to
+              legalize on the current Mosaic toolchain — arith.maxsi
+              has no packed-i16 lowering)
+  i16roll   — int16 + pltpu.roll instead of jnp.roll (unsupported)
 
 Chained-dependency timing under a watchdog, same pattern as
 tools/bench_kernel.py.  Results are JSON lines on stdout.
@@ -87,6 +97,8 @@ def make_lab_kernel(Qc, Rp, dtype, variant):
             "best": bscr[:],
             "bj": jscr[:],
         }
+        if variant == "packed":
+            st0 = {"hp": hscr[:], "fp": fscr[:], "best": bscr[:]}
 
         def col(jj, st):
             if variant == "nosub":
@@ -115,7 +127,10 @@ def make_lab_kernel(Qc, Rp, dtype, variant):
                 E = x - e_base
             H = jnp.maximum(htemp, E)
             out = {"hp": H, "fp": F}
-            if variant == "nocand":
+            if variant == "packed":
+                out["best"] = jnp.maximum(
+                    st["best"], jnp.where(H > 0, (H << 8) | (255 - jj), NEG))
+            elif variant == "nocand":
                 out["best"] = jnp.maximum(st["best"], H)
                 out["bj"] = st["bj"]
             else:
@@ -128,12 +143,28 @@ def make_lab_kernel(Qc, Rp, dtype, variant):
             def col2(kk, st):
                 return col(2 * kk + 1, col(2 * kk, st))
             stf = jax.lax.fori_loop(0, Rp // 2, col2, st0)
+        elif variant == "scratch":
+            def col_s(jj, tok):
+                st = {"hp": hscr[:], "fp": fscr[:], "best": bscr[:],
+                      "bj": jscr[:]}
+                nst = col(jj, st)
+                hscr[:] = nst["hp"]
+                fscr[:] = nst["fp"]
+                bscr[:] = nst["best"]
+                jscr[:] = nst["bj"]
+                return tok
+            jax.lax.fori_loop(0, Rp, col_s, 0)
+            stf = {"best": bscr[:], "bj": jscr[:]}
         else:
             stf = jax.lax.fori_loop(0, Rp, col, st0)
         acc[:] = jnp.zeros((8, LANES), jnp.int32)
-        acc[0:1, :] = stf["best"].astype(jnp.int32).max(
-            axis=0, keepdims=True)
-        acc[1:2, :] = stf["bj"].max(axis=0, keepdims=True)
+        if variant == "packed":
+            acc[0:1, :] = (stf["best"] >> 8).astype(jnp.int32).max(
+                axis=0, keepdims=True)
+        else:
+            acc[0:1, :] = stf["best"].astype(jnp.int32).max(
+                axis=0, keepdims=True)
+            acc[1:2, :] = stf["bj"].max(axis=0, keepdims=True)
         out_ref[0] = acc[:]
 
     return kernel
@@ -214,7 +245,7 @@ def run_variant(variant, B=8192, Qc=160, Rp=160):
             dt = with_timeout(window, 90)
         except Exception as e:  # noqa: BLE001
             print(f"[{variant}] window x{iters} failed: {e}", flush=True)
-            break
+            continue  # tunnel hiccup on one window; later windows often fine
         best = dt if best is None else min(best, dt)
     rec = {"variant": variant, "B": B, "Qc": Qc, "Rp": Rp,
            "compile_s": round(compile_s, 2),
