@@ -94,11 +94,51 @@ def bench(outputs, B=8192, L=150, Qp=160, Rp=160, A=25):
         best = dt if best is None else min(best, dt)
         print(f"[{outputs}] x{iters}: {dt*1e3:.2f} ms/call", flush=True)
         time.sleep(0.05)
+    # Ground truth: N chained calls inside ONE jit -> one dispatch, no
+    # per-call host/tunnel overhead in the timed region at all.
+    import jax
+
+    NCH = 8
+
+    @jax.jit
+    def chained(ql):
+        out = None
+        for _ in range(NCH):
+            out = run(ql)
+            ql = ql + (out["score"] & 0)
+        return out["score"]
+
+    fused_ms = None
+    try:
+        t0 = time.time()
+        with_timeout(lambda: jax.block_until_ready(chained(qlen)), 300)
+        print(f"[{outputs}] fused-chain compile+first={time.time()-t0:.1f}s",
+              flush=True)
+        for _ in range(3):
+            def fwin():
+                t0 = time.time()
+                float(np.asarray(chained(qlen)).sum())
+                return (time.time() - t0) / NCH
+            try:
+                dt = with_timeout(fwin, 120)
+            except Exception as e:  # noqa: BLE001
+                print(f"[{outputs}] fused window failed: {e}", flush=True)
+                continue
+            fused_ms = dt if fused_ms is None else min(fused_ms, dt)
+            print(f"[{outputs}] fused x{NCH}: {dt*1e3:.2f} ms/call",
+                  flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"[{outputs}] fused chain unavailable: {e}", flush=True)
+
+    if fused_ms is not None and (best is None or fused_ms < best):
+        best = fused_ms
     if best is not None:
         rec = {"outputs": outputs, "B": B, "L": L,
                "best_ms": round(best * 1e3, 3),
                "aln_per_sec": round(B / best),
                "gcups": round(B * L * L / best / 1e9, 1),
+               "fused_ms": None if fused_ms is None else
+               round(fused_ms * 1e3, 3),
                "windows": completed, "ts": time.time()}
         print(f"[{outputs}] BEST {rec['best_ms']} ms  "
               f"{rec['aln_per_sec']/1e6:.3f}M aln/s  "
