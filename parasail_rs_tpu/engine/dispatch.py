@@ -356,17 +356,22 @@ def _pallas_gate(batch: PairBatch, outputs: str, gap_open: int,
         return False, "substitution scores exceed int8 range"
     # Memory gates.  VMEM feasibility (tile plan incl. chunked-query
     # down-state) is computed by the kernel module; HBM is bounded by the
-    # (B, Rp, Qp) int8 substitution tensor plus output planes for
-    # trace/table.  Beyond these the streamed scan kernel takes over.
-    from ..ops.scan_kernel import scan_fits
+    # kernel input — the packed letter-indexed profile (G-select,
+    # Bpad*Qp*ceil(A/4)*4 bytes) or the (B, Rp, Qp) substitution tensor
+    # (scol fallback) — plus cell-sized output planes for trace/table.
+    # Beyond these the streamed scan kernel takes over.
+    from ..ops.scan_kernel import _gsel, _npk, scan_fits
 
     Qp, Rp = batch.qp, batch.rp
-    if not scan_fits(Qp, Rp, outputs):
+    A = int(batch.score_values.shape[-1])
+    if not scan_fits(Qp, Rp, outputs, A=A):
         return False, f"shape ({Qp}x{Rp}, {outputs}) exceeds the VMEM plan"
     Bpad = (batch.size + 127) // 128 * 128
-    scol_bytes = Bpad * Qp * Rp
-    hbm_factor = {"trace": 2, "table": 5, "stats_table": 17}.get(outputs, 1)
-    if scol_bytes * hbm_factor > 2 << 30:
+    cell_bytes = Bpad * Qp * Rp
+    in_bytes = Bpad * Qp * _npk(A) * 4 if _gsel(A) else cell_bytes
+    out_bytes = {"trace": 2, "table": 4, "stats_table": 16}.get(
+        outputs, 0) * cell_bytes
+    if in_bytes + out_bytes > 2 << 30:
         return False, "substitution/output tensors exceed the HBM budget"
     if os.environ.get("PT_FORCE_PALLAS") == "1":
         return True, ""
@@ -418,7 +423,8 @@ def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.scan_kernel import scan_score_align
+    from ..ops.scan_kernel import (_gsel, build_gpack_from_table,
+                                   scan_score_align)
 
     def fn(prof_or_table, qarg, rarg, mapper, qlen, rlen, open_, ext,
            bandwidth):
@@ -436,20 +442,31 @@ def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
                              0)
         else:
             ridx = rarg
+        gp = None
+        alphabet = None
         if table_path:
             table = prof_or_table
-            oh = jax.nn.one_hot(jnp.clip(qidx, 0, table.shape[0] - 1),
-                                table.shape[0], dtype=jnp.float32)
-            prof = jnp.einsum(
-                "bqa,ac->bqc", oh, table.astype(jnp.float32),
-                preferred_element_type=jnp.float32).astype(jnp.int32)
+            A = table.shape[0]
+            if _gsel(A):
+                # letter-indexed packed profile straight from the table —
+                # the per-pair (B, Qp, A) profile never materializes
+                gp = build_gpack_from_table(table, qidx)
+                prof = None
+                alphabet = A
+            else:
+                oh = jax.nn.one_hot(jnp.clip(qidx, 0, A - 1),
+                                    A, dtype=jnp.float32)
+                prof = jnp.einsum(
+                    "bqa,ac->bqc", oh, table.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
         else:
             prof = prof_or_table
         out = scan_score_align(
             prof, ridx, qlen, rlen, qidx if stats else None,
             open_=open_, ext=ext, mode=mode, free=free, width=width,
             outputs=outputs, banded=banded, bandwidth=bandwidth,
-            interpret=interpret, hmax_bound=hmax_bound)
+            interpret=interpret, hmax_bound=hmax_bound,
+            gpack=gp, alphabet=alphabet)
         scalars = {k: v for k, v in out.items() if v.ndim == 1}
         big = {k: v for k, v in out.items() if v.ndim > 1}
         names = tuple(sorted(scalars))
@@ -563,7 +580,7 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
     """Score/stats batches too large for one substitution tensor stream
     reference segments through the resumable scan kernel instead of
     falling to the (orders-of-magnitude slower on TPU) wavefront."""
-    from ..ops.scan_kernel import scan_fits
+    from ..ops.scan_kernel import scan_fits_stream
 
     if gap_open < gap_extend:
         return False
@@ -571,7 +588,8 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
         return False
     if batch.score_values.min() < -128 or batch.score_values.max() > 127:
         return False
-    if not scan_fits(batch.qp, STREAM_SEG, outputs):
+    if not scan_fits_stream(batch.qp, STREAM_SEG, outputs,
+                            A=int(batch.score_values.shape[-1])):
         return False
     # Per-segment substitution tensor (Bpad, Qp, STREAM_SEG) int8 must fit
     # the same HBM budget as the one-shot route's scol gate — a 2k-pair x

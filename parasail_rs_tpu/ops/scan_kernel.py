@@ -31,10 +31,16 @@ strict gap_open > gap_extend (at equality, gap-restart value ties exist
 and the golden recurrence follows the restart's accumulators).  The
 engine falls back to the XLA wavefront path otherwise.
 
-Substitution scores are precomputed OUTSIDE the kernel as one one-hot
-matmul on the MXU — S[b, j, i] = onehot(ridx)[b, j, :] @ profile[b, i, :]
-— which lands directly in the column-major (Rp, Qp) layout the sweep
-consumes: the kernel contains no gathers at all.
+Substitution scores resolve IN-KERNEL from a packed letter-indexed
+profile ("G-select", the default): profile rows pack 4 int8 scores per
+int32 into a (npk=ceil(A/4), Qc, LANES) block and each column pays a
+per-lane plane-select tree + byte extract (~log2(npk)+3 slab ops).
+This replaces the precomputed (B, Rp, Qp) substitution tensor (still
+available via PT_GSEL=0): the batched K=A one-hot matmul that built it
+runs at ~2% MXU utilization and dominated the sweep, and its cell-sized
+HBM tensor capped one-shot batch sizes.  The packed profile is 28x
+smaller (protein), reference-segment invariant, and built with cheap
+elementwise ops (build_gpack / build_gpack_from_table).
 
 Output-class coverage: score / stats / table / stats_table / rowcol /
 stats_rowcol / trace — the full parasail output matrix, chunked or not
@@ -82,7 +88,7 @@ def _classes(outputs):
     return want_trace, want_stats, want_table, want_rowcol
 
 
-def _plan(Qp, Rp, outputs):
+def _plan(Qp, Rp, outputs, npk=None):
     """(Qc, nq, Jt, nj) tile plan, or None if nothing fits VMEM.
 
     The chunk size adapts: the whole query in one chunk when its state
@@ -90,6 +96,10 @@ def _plan(Qp, Rp, outputs):
     prefers <= 512 — its state/payload planes are 4x a score sweep's).
     This keeps mid-range shapes (1-8kbp queries) on the Pallas route
     instead of dropping them onto the ~1000x slower wavefront.
+
+    ``npk`` (G-select mode) is the packed-profile plane count
+    ceil(A/4): the per-column scol stream is replaced by a fixed
+    (npk, Qc, LANES) int32 block; None = legacy scol accounting.
     """
     want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
     nplanes = 4 if want_stats else 1
@@ -112,7 +122,14 @@ def _plan(Qp, Rp, outputs):
                  + (9 + nplanes) * LANES * 4)
         out_cell = (1 if want_trace else 0) + \
             (4 * nplanes if want_table else 0)
-        per_col = Qc * LANES * (1 + out_cell) * 2      # double-buffered
+        if npk is not None:
+            # G-select: the packed profile block is per-chunk, not
+            # per-column (double-buffered across chunk steps); columns
+            # stream only ridx (and the output planes)
+            fixed += 2 * npk * Qc * LANES * 4
+            per_col = Qc * LANES * out_cell * 2 + LANES * 4 * 2
+        else:
+            per_col = Qc * LANES * (1 + out_cell) * 2  # double-buffered
         budget = VMEM_BUDGET - fixed
         if budget < per_col:
             return None
@@ -138,9 +155,34 @@ def _plan(Qp, Rp, outputs):
     return None
 
 
-def scan_fits(Qp, Rp, outputs) -> bool:
-    """Can the scan kernel serve this padded shape + output class?"""
-    return _plan(Qp, Rp, outputs) is not None
+def scan_fits(Qp, Rp, outputs, A=32) -> bool:
+    """Can the scan kernel serve this padded shape + output class?
+
+    ``A`` is the alphabet width (npk = ceil(A/4) packed planes in
+    G-select mode); the default is the conservative 32-letter bound.
+    """
+    return _plan(Qp, Rp, outputs, npk=_npk(A) if _gsel(A) else None) \
+        is not None
+
+
+def scan_fits_stream(Qp, Rseg, outputs, A=32) -> bool:
+    """Routability of the streamed-segment kernel for one segment."""
+    return _plan(Qp, Rseg, outputs,
+                 npk=_npk(A) if _gsel(A) else None) is not None
+
+
+def _npk(A: int) -> int:
+    return (A + 3) // 4
+
+
+def _gsel(A: int) -> bool:
+    """G-select (in-kernel packed-profile substitution resolution) is the
+    default device path; PT_GSEL=0 restores the precomputed substitution
+    tensor (scol) path.  Alphabets beyond 32 letters would need a 9+ deep
+    select tree — they take the scol path."""
+    import os
+
+    return A <= 32 and os.environ.get("PT_GSEL", "1") != "0"
 
 
 def _prefix_masks(ii, n):
@@ -326,8 +368,14 @@ def cand_pack_params(rlen_total, hmax_bound, banded=False, resume=False,
 def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                  want_trace=False, want_stats=False,
                  want_table=False, want_rowcol=False, banded=False,
-                 resume=False, stream=False, hmax_bound=None):
-    """Build the column-sweep kernel body (all config static)."""
+                 resume=False, stream=False, hmax_bound=None,
+                 gsel_npk=None):
+    """Build the column-sweep kernel body (all config static).
+
+    ``gsel_npk`` set means G-select mode: the substitution input is the
+    packed profile block (npk, Qc, LANES) + per-column reference letters,
+    resolved in-kernel (see :func:`_gsel_substitution`); None streams the
+    precomputed (Jt, Qc, LANES) substitution tensor instead."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
     neg = NEG_INF32  # plain int: jnp constants made here would be captured
@@ -355,9 +403,13 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         gaps_ref = refs.pop(0)
         qlen_ref = refs.pop(0)
         rlen_ref = refs.pop(0)
-        scol_ref = refs.pop(0)
+        if gsel_npk:
+            gpack_ref = refs.pop(0)
+            scol_ref = None
+        else:
+            scol_ref = refs.pop(0)
         qidx_ref = refs.pop(0) if want_stats else None
-        ridx_ref = refs.pop(0) if want_stats else None
+        ridx_ref = refs.pop(0) if (want_stats or gsel_npk) else None
         if resume:
             hin_ref = refs.pop(0)
             fin_ref = refs.pop(0)
@@ -513,7 +565,11 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         def col(jj, st):
             jl = jblk * Jt + jj          # segment-local column (scratch)
             j = j0 + jl                  # global column (boundaries, coords)
-            s = scol_ref[0, jj, :, :].astype(I32)       # (Qc, LANES)
+            if gsel_npk:
+                rj = ridx_ref[0, pl.ds(jj, 1), :]       # (1, LANES)
+                s = _gsel_substitution(gpack_ref, rj, gsel_npk)
+            else:
+                s = scol_ref[0, jj, :, :].astype(I32)   # (Qc, LANES)
             hp = st["hp"]
             fp = st["fp"]
             htop_rows = st["htop"]
@@ -914,6 +970,101 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
     return kernel
 
 
+def build_gpack(profile):
+    """Pack profile rows 4-bytes-per-int32, lanes-last: the G-select
+    kernel input.
+
+    profile (Bq, Qp, A) int32 -> (nb or 1, NPK, Qp, LANES) int32 with
+    gpack[b, p, i, l] holding profile[b*LANES+l, i, 4p:4p+4] as 4 little-
+    endian bytes (two's complement).  This replaces the (B, Rp, Qp)
+    substitution tensor: letter-indexed (28x smaller for protein), built
+    with elementwise ops instead of the MXU-hostile batched K=25 one-hot
+    matmul, and reference-segment invariant.  A shared (1, Qp, A)
+    profile packs once and broadcasts across lanes.
+    """
+    Bq, Qp, A = profile.shape
+    NPK = _npk(A)
+    p8 = jnp.clip(profile, -128, 127).astype(jnp.int8)
+    if Bq == 1:
+        pT = jnp.swapaxes(p8[0], 0, 1)                       # (A, Qp)
+        pT = jnp.pad(pT, ((0, NPK * 4 - A), (0, 0)))
+        u = pT.astype(jnp.uint8).astype(jnp.int32)           # (4NPK, Qp)
+        packed = (u[0::4] | (u[1::4] << 8)
+                  | (u[2::4] << 16) | (u[3::4] << 24))       # (NPK, Qp)
+        return jnp.broadcast_to(packed[None, :, :, None],
+                                (1, NPK, Qp, LANES))
+    nb = Bq // LANES
+    # lanes-last first (33 MB int8 relayout), THEN pack along the now-
+    # major letter axis — strided slices of a minor dim would force
+    # padded relayouts costing more than the pack itself
+    pT = p8.reshape(nb, LANES, Qp, A).transpose(0, 3, 2, 1)  # (nb,A,Qp,LANES)
+    pT = jnp.pad(pT, ((0, 0), (0, NPK * 4 - A), (0, 0), (0, 0)))
+    u = pT.astype(jnp.uint8).astype(jnp.int32)
+    return (u[:, 0::4] | (u[:, 1::4] << 8)
+            | (u[:, 2::4] << 16) | (u[:, 3::4] << 24))       # (nb,NPK,Qp,LANES)
+
+
+def build_gpack_from_table(table, qidx):
+    """(A, A) substitution table + (B or 1, Qp) query letters -> G-select
+    input, bypassing per-pair profile materialization entirely.
+
+    gpack[b, p, i, l] packs table[qidx[b*LANES+l, i], 4p:4p+4]; built
+    with A*NPK lane-broadcast selects over (nb, Qp, LANES) planes — no
+    MXU batched matmul, no (B, Qp, A) tensor.  Padded query rows
+    (qidx -1) pack to score 0.
+    """
+    A = table.shape[0]
+    NPK = _npk(A)
+    Bq, Qp = qidx.shape
+    t8 = jnp.clip(jnp.asarray(table, I32), -128, 127).astype(jnp.int8)
+    t8 = jnp.pad(t8, ((0, 0), (0, NPK * 4 - A)))
+    u = t8.astype(jnp.uint8).astype(jnp.int32)
+    tp = (u[:, 0::4] | (u[:, 1::4] << 8)
+          | (u[:, 2::4] << 16) | (u[:, 3::4] << 24))          # (A, NPK)
+    if Bq == 1:
+        qT = jnp.asarray(qidx, I32).T[None, :, :]             # (1, Qp, 1)
+        nb = 1
+    else:
+        nb = Bq // LANES
+        qT = jnp.asarray(qidx, I32).reshape(
+            nb, LANES, Qp).transpose(0, 2, 1)                 # (nb, Qp, LANES)
+    planes = []
+    for p in range(NPK):
+        g = jnp.zeros(qT.shape, I32)
+        for a in range(A):
+            g = g + jnp.where(qT == a, tp[a, p], 0)
+        planes.append(g)
+    gp = jnp.stack(planes, axis=1)                 # (nb, NPK, Qp, lanes)
+    if Bq == 1:
+        gp = jnp.broadcast_to(gp, (1, NPK, Qp, LANES))
+    return gp
+
+
+def _gsel_substitution(gpack_ref, rj, npk):
+    """Per-column substitution scores from the packed profile block.
+
+    ``rj`` (1, LANES) int32 reference letters; returns (Qc, LANES) int32
+    scores.  Plane select tree (ceil(log2 npk) levels of per-lane
+    selects) + byte extract: ~log(A/4) + 3 slab ops per column, replacing
+    the scol load.  Out-of-range letters (padding -1) resolve to score 0
+    because build_* zero-fills beyond the alphabet/query.
+    """
+    p = rj >> 2
+    planes = [gpack_ref[0, k] for k in range(npk)]
+    bit = 0
+    while len(planes) > 1:
+        if len(planes) % 2:
+            planes.append(planes[-1])
+        b = ((p >> bit) & 1) == 1
+        planes = [jnp.where(b, planes[k + 1], planes[k])
+                  for k in range(0, len(planes), 2)]
+        bit += 1
+    g = planes[0]
+    sh = (rj & 3) << 3
+    v = (g >> sh) & 255
+    return (v ^ 128) - 128
+
+
 def build_scol(profile, ridx):
     """One-hot MXU matmul: (B, Rp, Qp) substitution scores, column-major.
 
@@ -940,10 +1091,10 @@ def build_scol(profile, ridx):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "free", "width", "outputs", "banded",
-                     "interpret", "hmax_bound"),
+                     "interpret", "hmax_bound", "alphabet"),
 )
 def scan_score_align(
-    profile,       # (B or 1, Qp, A) int32
+    profile,       # (B or 1, Qp, A) int32; None iff ``gpack`` is given
     ridx,          # (B, Rp) int32
     qlen,          # (B,) int32
     rlen,          # (B,) int32
@@ -959,6 +1110,8 @@ def scan_score_align(
     bandwidth=0,
     interpret: bool = False,
     hmax_bound: int | None = None,
+    gpack=None,    # prebuilt (nb or 1, NPK, Qp, LANES) G-select input
+    alphabet: int | None = None,   # static A, required with ``gpack``
 ):
     """Pallas alignment kernel; same output contract as
     ``wavefront_align`` for every output class.
@@ -976,11 +1129,17 @@ def scan_score_align(
     """
     want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
     nplanes = 4 if want_stats else 1
-    _, Qp, A = profile.shape
+    if gpack is not None:
+        assert alphabet is not None, "gpack requires the static alphabet"
+        A, Qp = alphabet, gpack.shape[2]
+    else:
+        _, Qp, A = profile.shape
     B, Rp = ridx.shape
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
     nb = B // LANES
-    plan = _plan(Qp, Rp, outputs)
+    gsel = gpack is not None or _gsel(A)
+    npk = _npk(A) if gsel else None
+    plan = _plan(Qp, Rp, outputs, npk=npk)
     assert plan is not None, (
         f"shape (Qp={Qp}, Rp={Rp}, {outputs}) does not fit the scan "
         f"kernel; route to wavefront_align")
@@ -988,9 +1147,6 @@ def scan_score_align(
     Rpad = (Rp + 7) // 8 * 8
     chunked = nq > 1
 
-    scol = build_scol(profile, ridx)                         # (B, Rp, Qp) int8
-    # Lanes-last layout: (nb, Rp, Qp, LANES).
-    scol = scol.reshape(nb, LANES, Rp, Qp).transpose(0, 2, 3, 1)
     qlen_b = qlen.reshape(nb, 1, LANES)
     rlen_b = rlen.reshape(nb, 1, LANES)
     gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32),
@@ -999,30 +1155,49 @@ def scan_score_align(
     kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rp, Qp,
                           want_trace=want_trace, want_stats=want_stats,
                           want_table=want_table, want_rowcol=want_rowcol,
-                          banded=banded, hmax_bound=hmax_bound)
+                          banded=banded, hmax_bound=hmax_bound,
+                          gsel_npk=npk)
 
-    inputs = [gaps, qlen_b, rlen_b, scol]
+    inputs = [gaps, qlen_b, rlen_b]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # gaps
         pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),                 # qlen
         pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),                 # rlen
-        pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
-                     memory_space=pltpu.VMEM),                 # scol
     ]
+    if gsel:
+        if gpack is None:
+            gpack = build_gpack(profile)   # (nb or 1, npk, Qp, LANES)
+        shared = gpack.shape[0] == 1
+        inputs.append(gpack)
+        in_specs.append(
+            pl.BlockSpec((1, npk, Qc, LANES),
+                         (lambda b, t, j: (0, 0, t, 0)) if shared else
+                         (lambda b, t, j: (b, 0, t, 0)),
+                         memory_space=pltpu.VMEM))             # gpack
+    else:
+        scol = build_scol(profile, ridx)                 # (B, Rp, Qp) int8
+        # Lanes-last layout: (nb, Rp, Qp, LANES).
+        scol = scol.reshape(nb, LANES, Rp, Qp).transpose(0, 2, 3, 1)
+        inputs.append(scol)
+        in_specs.append(
+            pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
+                         memory_space=pltpu.VMEM))             # scol
     if want_stats:
         assert qidx is not None, "stats outputs need the mapped query indices"
         qidx_full = jnp.broadcast_to(jnp.asarray(qidx, I32), (B, Qp))
         qidx_b = qidx_full.reshape(nb, LANES, Qp).transpose(0, 2, 1)
-        ridx_b = ridx.reshape(nb, LANES, Rp).transpose(0, 2, 1)
-        inputs += [qidx_b, ridx_b]
-        in_specs += [
+        inputs.append(qidx_b)
+        in_specs.append(
             pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
-                         memory_space=pltpu.VMEM),             # qidx
+                         memory_space=pltpu.VMEM))             # qidx
+    if want_stats or gsel:
+        ridx_b = ridx.reshape(nb, LANES, Rp).transpose(0, 2, 1)
+        inputs.append(ridx_b)
+        in_specs.append(
             pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),             # ridx
-        ]
+                         memory_space=pltpu.VMEM))             # ridx
 
     out_shape = [jax.ShapeDtypeStruct((nb, 8, LANES), I32)]
     out_specs = [pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
@@ -1184,13 +1359,13 @@ def scan_score_segment(
     B, Rseg = ridx_seg.shape
     assert B % LANES == 0
     nb = B // LANES
-    plan = _plan(Qp, Rseg, outputs)
+    gsel = _gsel(A)
+    npk = _npk(A) if gsel else None
+    plan = _plan(Qp, Rseg, outputs, npk=npk)
     assert plan is not None
     Qc, nq, Jt, nj = plan
     TROWS = 4 if want_stats else 1
 
-    scol = build_scol(profile, ridx_seg)
-    scol = scol.reshape(nb, LANES, Rseg, Qp).transpose(0, 2, 3, 1)
     qlen_b = qlen.reshape(nb, 1, LANES)
     rlen_b = rlen.reshape(nb, 1, LANES)
     gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32),
@@ -1198,30 +1373,46 @@ def scan_score_segment(
 
     kernel = _make_kernel(Qc, nq, Jt, nj, mode, free, width, Rseg, Qp,
                           want_stats=want_stats, want_trace=want_trace,
-                          resume=resume, stream=True)
+                          resume=resume, stream=True, gsel_npk=npk)
 
-    inputs = [gaps, qlen_b, rlen_b, scol]
+    inputs = [gaps, qlen_b, rlen_b]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if gsel:
+        gpack = build_gpack(profile)
+        shared_g = gpack.shape[0] == 1
+        inputs.append(gpack)
+        in_specs.append(
+            pl.BlockSpec((1, npk, Qc, LANES),
+                         (lambda b, t, j: (0, 0, t, 0)) if shared_g else
+                         (lambda b, t, j: (b, 0, t, 0)),
+                         memory_space=pltpu.VMEM))
+    else:
+        scol = build_scol(profile, ridx_seg)
+        scol = scol.reshape(nb, LANES, Rseg, Qp).transpose(0, 2, 3, 1)
+        inputs.append(scol)
+        in_specs.append(
+            pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
+                         memory_space=pltpu.VMEM))
     if want_stats:
         assert qidx is not None
         qidx_full = jnp.broadcast_to(jnp.asarray(qidx, I32), (B, Qp))
         qidx_b = qidx_full.reshape(nb, LANES, Qp).transpose(0, 2, 1)
-        ridx_b = ridx_seg.reshape(nb, LANES, Rseg).transpose(0, 2, 1)
-        inputs += [qidx_b, ridx_b]
-        in_specs += [
+        inputs.append(qidx_b)
+        in_specs.append(
             pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM))
+    if want_stats or gsel:
+        ridx_b = ridx_seg.reshape(nb, LANES, Rseg).transpose(0, 2, 1)
+        inputs.append(ridx_b)
+        in_specs.append(
             pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+                         memory_space=pltpu.VMEM))
 
     chunk_spec = pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
                               memory_space=pltpu.VMEM)
