@@ -293,10 +293,39 @@ class Aligner:
         )
 
     def _alignments_from(self, out, qlens, rlens):
-        return [
-            self._make_alignment(out, b, qlens[b], rlens[b])
-            for b in range(len(rlens))
-        ]
+        """Vectorized result-object construction.
+
+        Per-pair numpy indexing and per-pair flag dicts cost ~8 us each
+        — 65 ms for an 8192-pair batch, 14x the device kernel.  Instead:
+        one ``tolist()`` pass per scalar field (C speed), two SHARED
+        read-only flag dicts (they differ only in ``saturated``; every
+        accessor only reads them), and plain-int field dicts per pair.
+        Cell-sized fields (tables/rows/cols/trace) still slice per pair.
+        """
+        n = len(rlens)
+        big = {k: v for k, v in out.items()
+               if k.endswith(("_table", "_row", "_col"))}
+        cols = {k: np.asarray(v).tolist() for k, v in out.items()
+                if k not in big}
+        names = list(cols)
+        data = [dict(zip(names, vals)) for vals in zip(*cols.values())] \
+            if names else [{} for _ in range(n)]
+        f_sat = self._flags(True)
+        f_un = self._flags(False)
+        mk = Alignment
+        matrix, free, mode = self.matrix, self.key.free, self.key.mode
+        res = []
+        for b in range(n):
+            fields = data[b]
+            if big:
+                fields.update(dispatch.slice_pair(
+                    big, b, qlens[b], rlens[b]))
+            res.append(mk(
+                fields=fields,
+                flags=f_sat if fields.get("saturated", False) else f_un,
+                query_len=qlens[b], ref_len=rlens[b],
+                matrix=matrix, free=free, mode=mode))
+        return res
 
     def _run_packed(self, batch, qlens, rlens):
         return self._alignments_from(self._execute(batch), qlens, rlens)
