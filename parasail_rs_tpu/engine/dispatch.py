@@ -159,7 +159,8 @@ def pack_pairs(
     from ..errors import InteriorNulByte
 
     B = len(references)
-    refs = [r.encode() if isinstance(r, str) else bytes(r) for r in references]
+    refs = [r.encode() if isinstance(r, str)
+            else (r if type(r) is bytes else bytes(r)) for r in references]
     rjoined = b"".join(refs)
     if 0 in rjoined:
         raise InteriorNulByte("sequence contains an interior NUL byte")
@@ -184,7 +185,8 @@ def pack_pairs(
         qidx[0, :ql] = profile.qidx
         qlens = np.full(B, ql, np.int32)
     else:
-        qs = [q.encode() if isinstance(q, str) else bytes(q) for q in queries]
+        qs = [q.encode() if isinstance(q, str)
+              else (q if type(q) is bytes else bytes(q)) for q in queries]
         if len(qs) != B:
             raise ValueError("queries and references must have equal length")
         qjoined = b"".join(qs)
