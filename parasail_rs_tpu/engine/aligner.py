@@ -453,7 +453,8 @@ class Aligner:
         return self.ssw_batch(
             None if query is None else [query], [reference])[0]
 
-    def ssw_batch(self, queries, references) -> list[SSWResult]:
+    def ssw_batch(self, queries, references,
+                  windowed: bool | None = None) -> list[SSWResult]:
         """Batched SSW (TPU-native extra): one trace-kernel launch + one
         batched native CIGAR walk for the whole set.
 
@@ -465,6 +466,16 @@ class Aligner:
         exactly as the SSW library does; 1/2 = 16-bit (or 8-then-16
         retry), capping at 65535.  ``parasail_ssw`` without a profile
         behaves as score_size 2 (src/alignment/mod.rs:507-544).
+
+        ``windowed`` switches to the long-pair three-pass pipeline
+        (score -> reversed score for begins -> window-trace for the
+        CIGAR): flag memory is O(alignment window), not O(qlen*rlen),
+        so arbitrarily long references stay on the fast device route.
+        None (default) auto-enables it when the full flag plane would
+        exceed the streamed-trace host bound.  The same technique the
+        SSW library documents for long targets; CIGARs may differ from
+        the one-pass walk only in tie-broken op order (scores and spans
+        are identical — pinned by the re-scoring invariant test).
         """
         from ..constants import cigar_encode
         from ..golden.model import walk_trace
@@ -480,6 +491,15 @@ class Aligner:
         else:
             qs = [_as_bytes(q) for q in queries]
         score_size = self.profile.score_size if use_profile else None
+        if windowed is None:
+            from ..utils.shapes import length_bucket
+
+            Bpad = (len(refs) + 127) // 128 * 128
+            Qp = length_bucket(max((len(q) for q in qs), default=1))
+            Rp = length_bucket(max((len(r) for r in refs), default=1))
+            windowed = Bpad * Qp * Rp > 4 << 30
+        if windowed:
+            return self._ssw_windowed(qs, refs, use_profile, score_size)
         sw = Aligner(
             key=KernelKey(mode="sw", free=(True,) * 4, outputs="trace",
                           strategy="striped", profile=use_profile,
@@ -528,6 +548,96 @@ class Aligner:
                 read_begin1=bq,
                 read_end1=end_qs[k],
                 _cigar=packed,
+            ))
+        return results
+
+    def _ssw_windowed(self, qs, refs, use_profile, score_size):
+        """Three-pass long-pair SSW (see ssw_batch docstring).
+
+        1. SW score pass over the full pairs -> score + end coords.
+        2. SW score pass over the REVERSED prefixes q[:eq+1] / r[:er+1]
+           -> its end coords are the begin coords (the SSW library's own
+           begin-location technique).
+        3. Global (NW) trace pass over just the [begin..end] windows —
+           the optimal local path spans its window exactly, so its CIGAR
+           is a max-score global alignment of the windows.  Flag memory
+           is O(window), never O(qlen*rlen).
+        """
+        from ..constants import cigar_encode
+        from ..golden.model import walk_trace
+        from ..native import walker
+
+        def sub(outputs, mode, profile):
+            free = (True,) * 4 if mode == "sw" else (False,) * 4
+            return Aligner(
+                key=KernelKey(mode=mode, free=free, outputs=outputs,
+                              strategy="striped", profile=profile,
+                              width="sat"),
+                matrix=self.matrix, gap_open=self.gap_open,
+                gap_extend=self.gap_extend,
+                profile=self.profile if profile else Profile.default(),
+                bandwidth=None)
+
+        n = len(refs)
+        a1 = sub("score", "sw", use_profile).align_many(
+            None if use_profile else qs, refs)
+        scores = [a.get_score() for a in a1]
+        eqs = [a.get_end_query() for a in a1]
+        ers = [a.get_end_ref() for a in a1]
+        promoted = [bool(a.fields.get("promoted", False)) for a in a1]
+
+        live = [k for k in range(n) if scores[k] > 0]
+        bqs = [0] * n
+        brs = [0] * n
+        cigars: list[np.ndarray] = [np.empty(0, np.uint32)] * n
+        if live:
+            # pass 2: begins from the reversed-prefix ends
+            a2 = sub("score", "sw", False).align_many(
+                [qs[k][:eqs[k] + 1][::-1] for k in live],
+                [refs[k][:ers[k] + 1][::-1] for k in live])
+            for k, a in zip(live, a2):
+                bqs[k] = eqs[k] - a.get_end_query()
+                brs[k] = ers[k] - a.get_end_ref()
+            # pass 3: window trace + walk
+            qw = [qs[k][bqs[k]:eqs[k] + 1] for k in live]
+            rw = [refs[k][brs[k]:ers[k] + 1] for k in live]
+            a3 = sub("trace", "nw", False).align_many(qw, rw)
+            traces = [a.fields["trace_table"] for a in a3]
+            ends_q = [len(q) - 1 for q in qw]
+            ends_r = [len(r) - 1 for r in rw]
+            walked = walker.walk_batch(
+                traces, qw, rw, ends_q, ends_r,
+                local=False, qb=False, db=False, merge_m=True)
+            for i, k in enumerate(live):
+                if walked is not None:
+                    packed, _, _ = walked[i]
+                    cigars[k] = np.asarray(packed, dtype=np.uint32)
+                else:
+                    w = walk_trace(traces[i], qw[i], rw[i],
+                                   ends_q[i], ends_r[i], "nw")
+                    runs: list[int] = []
+                    for cnt, op in w.ops:
+                        op = "M" if op in ("=", "X") else op
+                        if runs and (runs[-1] & 0xF) == \
+                                "MIDNSHP=XB".index(op):
+                            runs[-1] += cnt << 4
+                        else:
+                            runs.append(cigar_encode(cnt, op))
+                    cigars[k] = np.asarray(runs, dtype=np.uint32)
+
+        results = []
+        for k in range(n):
+            if score_size == 0 and promoted[k]:
+                score1 = 255
+            elif score_size == 0:
+                score1 = min(scores[k], 255)
+            else:
+                score1 = min(scores[k], 0xFFFF)
+            results.append(SSWResult(
+                score1=score1,
+                ref_begin1=brs[k], ref_end1=ers[k],
+                read_begin1=bqs[k], read_end1=eqs[k],
+                _cigar=cigars[k],
             ))
         return results
 

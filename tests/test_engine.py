@@ -546,3 +546,71 @@ def test_streaming_per_bucket_resolution():
         for q, r, h in out:
             assert h.result(timeout=60).get_score() == \
                 aligner.align(q, r).get_score()
+
+
+def test_ssw_windowed_matches_one_pass():
+    """Three-pass windowed SSW (long-pair route) agrees with the
+    one-pass full-trace walk: identical scores and end coordinates,
+    begin coordinates that re-score to the same alignment, and a CIGAR
+    whose re-scored value equals score1."""
+    from parasail_rs_tpu.golden import align_seqs
+
+    rng = np.random.default_rng(7)
+    aa = b"ARNDCQEGHILKMFPSTWYV"
+    m = Matrix.from_name("blosum62")
+    qs, rs = [], []
+    for _ in range(6):
+        q = rng.choice(list(aa), size=int(rng.integers(30, 70))).astype(
+            "uint8").tobytes()
+        r = bytearray(rng.choice(list(aa), size=int(
+            rng.integers(80, 160))).astype("uint8").tobytes())
+        # plant a homologous region so local alignments are nontrivial
+        at = int(rng.integers(0, len(r) - len(q) // 2))
+        r[at:at + len(q) // 2] = q[: len(q) // 2]
+        qs.append(q)
+        rs.append(bytes(r))
+    al = Aligner.new().matrix(m).gap_open(11).gap_extend(1).build()
+    one = al.ssw_batch(qs, rs, windowed=False)
+    win = al.ssw_batch(qs, rs, windowed=True)
+    for q, r, o, w in zip(qs, rs, one, win):
+        assert w.score1 == o.score1
+        assert w.read_end1 == o.read_end1
+        assert w.ref_end1 == o.ref_end1
+        # begins: the window must re-score to the full local score
+        g = align_seqs(q[w.read_begin1:w.read_end1 + 1],
+                       r[w.ref_begin1:w.ref_end1 + 1],
+                       m, 11, 1, mode="nw")
+        assert g.score == o.score1, (g.score, o.score1)
+        # CIGAR re-scores to score1
+        assert _rescore_cigar(
+            w.cigar_string(), q[w.read_begin1:], r[w.ref_begin1:],
+            m, 11, 1) == o.score1
+
+
+def _rescore_cigar(cig, q, r, m, open_, ext):
+    import re
+
+    qi = ri = 0
+    score = 0
+    for cnt, op in re.findall(r"(\d+)([MIDNSHP=XB])", cig):
+        cnt = int(cnt)
+        if op in ("M", "=", "X"):
+            for _ in range(cnt):
+                score += int(m.data[m.mapper[q[qi]], m.mapper[r[ri]]])
+                qi += 1
+                ri += 1
+        elif op == "I":   # consumes query
+            score -= open_ + (cnt - 1) * ext
+            qi += cnt
+        elif op == "D":   # consumes reference
+            score -= open_ + (cnt - 1) * ext
+            ri += cnt
+    return score
+
+
+def test_ssw_windowed_zero_score_pair():
+    m = Matrix.create(b"ACGT", 1, -1)
+    al = Aligner.new().matrix(m).gap_open(5).gap_extend(2).build()
+    res = al.ssw_batch([b"AAAA"], [b"TTTT"], windowed=True)
+    assert res[0].score1 == 0
+    assert res[0].cigar_len() == 0
