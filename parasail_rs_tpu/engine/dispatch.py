@@ -612,8 +612,11 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
 
 def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
                              width, outputs="score"):
-    from ..ops.scan_kernel import LANES, scan_score_segment
+    from ..ops.scan_kernel import (LANES, _gsel, build_gpack,
+                                   build_gpack_from_table,
+                                   scan_score_segment)
     import jax
+    import jax.numpy as jnp
 
     B = batch.size
     Bp = ((B + LANES - 1) // LANES) * LANES
@@ -625,21 +628,33 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         if isinstance(x, np.ndarray):
             return np.pad(x, widths)
-        import jax.numpy as jnp
-
         return jnp.pad(x, widths)
 
     shared = batch.shared_query
     qidx = batch.qidx if shared else padb(batch.qidx)
-    prof = _device_profile(
-        None if batch.profile is None else
-        (batch.profile if shared else padb(batch.profile)),
-        batch.table, qidx)
+    A = int(batch.score_values.shape[-1])
+    gp = None
+    prof = None
+    if _gsel(A):
+        # the packed profile is letter-indexed — identical for every
+        # reference segment, so build it ONCE (and for square matrices
+        # the per-pair profile tensor never materializes at all)
+        if batch.table is not None:
+            gp = build_gpack_from_table(
+                jnp.asarray(batch.table, jnp.int32), qidx)
+        else:
+            gp = build_gpack(jnp.asarray(
+                batch.profile if shared else padb(batch.profile),
+                jnp.int32))
+    else:
+        prof = _device_profile(
+            None if batch.profile is None else
+            (batch.profile if shared else padb(batch.profile)),
+            batch.table, qidx)
     ridx = padb(batch.ridx)
     qlen = padb(batch.qlen)
     rlen = padb(batch.rlen)
     Rp = ridx.shape[1]
-    import jax.numpy as jnp
 
     nseg = (Rp + STREAM_SEG - 1) // STREAM_SEG
     if Rp % STREAM_SEG:
@@ -657,6 +672,7 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
             mode=mode, free=free, width=width, outputs=outputs,
             col_offset=np.int32(si * STREAM_SEG), resume=si > 0,
             interpret=jax.default_backend() != "tpu",
+            gpack=gp, alphabet=A if gp is not None else None,
         )
         if outputs == "trace":
             trace_segs.append(np.asarray(out.pop("trace_table_seg"))[:B])

@@ -1325,7 +1325,7 @@ def scan_score_align(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "free", "width", "outputs", "resume",
-                     "interpret"),
+                     "interpret", "alphabet"),
 )
 def scan_score_segment(
     profile,       # (B or 1, Qp, A) int32
@@ -1344,6 +1344,8 @@ def scan_score_segment(
     col_offset=0,  # traced: global column index of this segment's start
     resume: bool = False,
     interpret: bool = False,
+    gpack=None,    # prebuilt segment-invariant G-select input
+    alphabet: int | None = None,   # static A, required with ``gpack``
 ):
     """One reference segment of a score or stats sweep (unbounded Rp).
 
@@ -1351,15 +1353,21 @@ def scan_score_segment(
     state (per-chunk H/F boundary columns, diag/stat carries, stats
     planes, and the candidate accumulators); after the last segment the
     returned dict matches ``scan_score_align``'s contract for the same
-    output class.  Returns (out, new_state).
+    output class.  Returns (out, new_state).  Passing the prebuilt
+    ``gpack`` (letter-indexed, so identical for every segment) skips
+    the per-segment substitution build entirely.
     """
     want_stats = outputs == "stats"
     want_trace = outputs == "trace"
-    _, Qp, A = profile.shape
+    if gpack is not None:
+        assert alphabet is not None, "gpack requires the static alphabet"
+        A, Qp = alphabet, gpack.shape[2]
+    else:
+        _, Qp, A = profile.shape
     B, Rseg = ridx_seg.shape
     assert B % LANES == 0
     nb = B // LANES
-    gsel = _gsel(A)
+    gsel = gpack is not None or _gsel(A)
     npk = _npk(A) if gsel else None
     plan = _plan(Qp, Rseg, outputs, npk=npk)
     assert plan is not None
@@ -1384,7 +1392,8 @@ def scan_score_segment(
                      memory_space=pltpu.VMEM),
     ]
     if gsel:
-        gpack = build_gpack(profile)
+        if gpack is None:
+            gpack = build_gpack(profile)
         shared_g = gpack.shape[0] == 1
         inputs.append(gpack)
         in_specs.append(
