@@ -57,11 +57,16 @@ def plan_sharded_route(
     vals = np.asarray(score_values)
     if vals.min() < -128 or vals.max() > 127:
         return "wavefront"
-    if not scan_fits(Qp, Rp, outputs):
+    from ..ops.scan_kernel import _gsel, _npk
+
+    A = int(np.asarray(score_values).shape[-1])
+    if not scan_fits(Qp, Rp, outputs, A=A):
         return "wavefront"
-    scol_bytes = shard_batch * Qp * Rp
-    hbm_factor = {"trace": 2, "table": 5, "stats_table": 17}.get(outputs, 1)
-    if scol_bytes * hbm_factor > 2 << 30:
+    cell_bytes = shard_batch * Qp * Rp
+    in_bytes = shard_batch * Qp * _npk(A) * 4 if _gsel(A) else cell_bytes
+    out_bytes = {"trace": 2, "table": 4, "stats_table": 16}.get(
+        outputs, 0) * cell_bytes
+    if in_bytes + out_bytes > 2 << 30:
         return "wavefront"
     if os.environ.get("PT_FORCE_PALLAS") == "1":
         return "scan"
