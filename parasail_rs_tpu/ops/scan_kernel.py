@@ -80,6 +80,17 @@ BIG = 2**30
 VMEM_BUDGET = 13 << 20   # usable VMEM after compiler slack
 
 
+def _roll1(x, s):
+    """Sublane rotate-down by ``s`` (axis 0).  PT_ROLL=pltpu switches to
+    the pltpu.roll primitive (perf experiment; bit-identical — every
+    caller masks the wrapped rows)."""
+    import os
+
+    if os.environ.get("PT_ROLL") == "pltpu":
+        return pltpu.roll(x, s, 0)
+    return jnp.roll(x, s, axis=0)
+
+
 def _classes(outputs):
     want_trace = outputs == "trace"
     want_stats = outputs in ("stats", "stats_table", "stats_rowcol")
@@ -227,22 +238,22 @@ def _prefix_max_exclusive2(a, masks, seed):
     x = a
     for s in (1, 2, 4):
         x = jnp.maximum(
-            x, jnp.where(masks[("b", s)], jnp.roll(x, s, axis=0),
+            x, jnp.where(masks[("b", s)], _roll1(x, s),
                          NEG_INF32))
     # 2) per-block maxes -> (nbk, LANES)
     xb = x.reshape(nbk, 8, LANES)[:, 7, :]
     # 3) seeded EXCLUSIVE scan over blocks (slab 8x smaller)
-    y = jnp.where(masks["k0"], seed, jnp.roll(xb, 1, axis=0))
+    y = jnp.where(masks["k0"], seed, _roll1(xb, 1))
     s = 1
     while s < nbk:
         y = jnp.maximum(
-            y, jnp.where(masks[("k", s)], jnp.roll(y, s, axis=0),
+            y, jnp.where(masks[("k", s)], _roll1(y, s),
                          NEG_INF32))
         s *= 2
     # 4) broadcast block carries back to rows
     yb = jnp.broadcast_to(y[:, None, :], (nbk, 8, LANES)).reshape(n, LANES)
     # 5) exclusive within block + combine
-    xs = jnp.where(masks["bstart"], NEG_INF32, jnp.roll(x, 1, axis=0))
+    xs = jnp.where(masks["bstart"], NEG_INF32, _roll1(x, 1))
     return jnp.maximum(yb, xs)
 
 
@@ -253,11 +264,11 @@ def _prefix_max_exclusive(a, masks, seed):
     chunk (boundary cell or cross-chunk prefix max).  Hillis-Steele with
     static shifts: log2(Qc) shift+max slab ops.
     """
-    x = jnp.where(masks[0], seed, jnp.roll(a, 1, axis=0))
+    x = jnp.where(masks[0], seed, _roll1(a, 1))
     s = 1
     n = a.shape[0]
     while s < n:
-        shifted = jnp.where(masks[s], jnp.roll(x, s, axis=0), NEG_INF32)
+        shifted = jnp.where(masks[s], _roll1(x, s), NEG_INF32)
         x = jnp.maximum(x, shifted)
         s *= 2
     return x
@@ -272,18 +283,18 @@ def _prefix_argmax_exclusive(a, payloads, masks, seed, seed_payloads):
     winning element).
     """
     neg = NEG_INF32
-    x = jnp.where(masks[0], seed, jnp.roll(a, 1, axis=0))
-    ps = [jnp.where(masks[0], sp, jnp.roll(p, 1, axis=0))
+    x = jnp.where(masks[0], seed, _roll1(a, 1))
+    ps = [jnp.where(masks[0], sp, _roll1(p, 1))
           for p, sp in zip(payloads, seed_payloads)]
     s = 1
     n = a.shape[0]
     while s < n:
-        xs = jnp.where(masks[s], jnp.roll(x, s, axis=0), neg)
+        xs = jnp.where(masks[s], _roll1(x, s), neg)
         take = xs > x
         x = jnp.where(take, xs, x)
         # take is only true where the shift was in-range, so the payload
         # shift needs no range mask of its own
-        ps = [jnp.where(take, jnp.roll(p, s, axis=0), p) for p in ps]
+        ps = [jnp.where(take, _roll1(p, s), p) for p in ps]
         s *= 2
     return x, ps
 
@@ -292,7 +303,7 @@ def _prefix_cummax_exclusive(a, masks, seed):
     """Exclusive seeded prefix max via the native lax.cummax lowering."""
     cm = jax.lax.cummax(a, axis=0)
     return jnp.maximum(seed, jnp.where(masks[0], NEG_INF32,
-                                       jnp.roll(cm, 1, axis=0)))
+                                       _roll1(cm, 1)))
 
 
 _PREFIX_IMPLS = {
@@ -579,7 +590,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             # Diagonal predecessor of the chunk's top row: H[r0-1, j-1],
             # carried column-to-column through the htop carry.
             htopd = htop_rows[0]
-            hdiag = jnp.where(pmasks[0], htopd, jnp.roll(hp, 1, axis=0))
+            hdiag = jnp.where(pmasks[0], htopd, _roll1(hp, 1))
             diag = hdiag + s
             htemp = jnp.maximum(diag, F)
             if local:
@@ -617,7 +628,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 im = (qidx_c == ridx_c).astype(I32)
                 hp_msl = st["stats"][0]
                 msl_d = jnp.where(pmasks[0], htop_rows[1],
-                                  jnp.roll(hp_msl, 1, axis=0))
+                                  _roll1(hp_msl, 1))
                 D_msl = msl_d + (im * (1 << SH_M)
                                  + (s > 0).astype(I32) * (1 << SH_S) + 1)
                 F_msl = jnp.where(from_open_f, hp_msl, st["stats"][1]) + 1
@@ -652,11 +663,11 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 # from the column carry (boundary values for the top
                 # chunk, the previous chunk's last row otherwise)
                 m_d = jnp.where(pmasks[0], htop_rows[1],
-                                jnp.roll(hm_p, 1, axis=0))
+                                _roll1(hm_p, 1))
                 s_d = jnp.where(pmasks[0], htop_rows[2],
-                                jnp.roll(hs_p, 1, axis=0))
+                                _roll1(hs_p, 1))
                 l_d = jnp.where(pmasks[0], htop_rows[3],
-                                jnp.roll(hl_p, 1, axis=0))
+                                _roll1(hl_p, 1))
                 Dm = m_d + im
                 Ds = s_d + (s > 0).astype(I32)
                 Dl = l_d + 1
@@ -719,12 +730,12 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 # E/F/H columns carry the same values, so the same >= tie
                 # rules produce the same flags.
                 fflag = jnp.where(from_open_f, TRACE_DIAG_F, TRACE_DEL_F)
-                h_up = jnp.where(pmasks[0], toph, jnp.roll(H, 1, axis=0))
+                h_up = jnp.where(pmasks[0], toph, _roll1(H, 1))
                 if chunked:
                     e_top = jnp.where(tq == 0, neg * ones, dE[pl.ds(jl, 1), :])
                 else:
                     e_top = neg * ones
-                e_up = jnp.where(pmasks[0], e_top, jnp.roll(E, 1, axis=0))
+                e_up = jnp.where(pmasks[0], e_top, _roll1(E, 1))
                 eflag = jnp.where(h_up - open_ >= e_up - ext,
                                   TRACE_DIAG_E, TRACE_INS_E)
                 take_diag = (diag >= E) & (diag >= F)
