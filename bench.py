@@ -423,7 +423,9 @@ def _secondary_configs(on_tpu, out, checkpoint):
         pa = (Aligner.new().profile(prof).gap_open(11).gap_extend(1)
               .local().scan().build())
         refs = seqs(aa, nrefs, 140, 160)
-        guard("cfg3_warm", lambda: pa.align_batch(None, refs[:64]))
+        # warm with the SAME batch shape: a different padded batch would
+        # recompile inside the timed rep
+        guard("cfg3_warm", lambda: pa.align_batch(None, refs), timeout=240)
         dt = guard("cfg3", lambda: _timeit(
             lambda: pa.align_batch(None, refs), reps=1), timeout=240)
         out["cfg3_profile_e2e_aln_per_sec"] = round(nrefs / dt)

@@ -558,3 +558,30 @@ def test_packed_candidate_gate_rejects_small_bounds():
     assert cand_pack_params(160, 8192, stream=True)[0] is False
     # bound too large for the column field: 2^30 / P exceeded
     assert cand_pack_params(1 << 20, 1 << 12)[0] is False
+
+
+def test_build_gpack_from_table_matches_profile_pack():
+    """The table->gpack shortcut must agree with packing explicit
+    profile rows, for both per-pair and shared (1, Qp) query forms."""
+    import jax.numpy as jnp
+
+    from parasail_rs_tpu.ops.scan_kernel import (LANES, build_gpack,
+                                                 build_gpack_from_table)
+
+    rng = np.random.default_rng(11)
+    A, Qp, B = 25, 24, LANES
+    table = rng.integers(-8, 12, size=(A, A)).astype(np.int32)
+    qidx = rng.integers(0, A, size=(B, Qp)).astype(np.int32)
+    qidx[:, -3:] = -1                      # padded rows pack to zeros
+    rows = np.where(qidx[..., None] >= 0,
+                    table[np.clip(qidx, 0, A - 1)], 0).astype(np.int32)
+    want = np.asarray(build_gpack(jnp.asarray(rows)))
+    got = np.asarray(build_gpack_from_table(jnp.asarray(table),
+                                            jnp.asarray(qidx)))
+    np.testing.assert_array_equal(got, want)
+
+    # shared query: (1, Qp) broadcasts across lanes
+    got1 = np.asarray(build_gpack_from_table(jnp.asarray(table),
+                                             jnp.asarray(qidx[:1])))
+    want1 = np.asarray(build_gpack(jnp.asarray(rows[:1])))
+    np.testing.assert_array_equal(got1, want1)
