@@ -9,6 +9,7 @@ results come back per-shard; XLA inserts the collectives.
 
 from .sharded import make_device_mesh, sharded_align
 from .seqpar import seqpar_align, seqpar_cigars
+from .seqpar_scan import seqpar_align_scan, seqpar_scan_fits
 
-__all__ = ["make_device_mesh", "seqpar_align", "seqpar_cigars",
-           "sharded_align"]
+__all__ = ["make_device_mesh", "seqpar_align", "seqpar_align_scan",
+           "seqpar_cigars", "seqpar_scan_fits", "sharded_align"]

@@ -380,13 +380,24 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                  want_trace=False, want_stats=False,
                  want_table=False, want_rowcol=False, banded=False,
                  resume=False, stream=False, hmax_bound=None,
-                 gsel_npk=None):
+                 gsel_npk=None, rowseg=False):
     """Build the column-sweep kernel body (all config static).
 
     ``gsel_npk`` set means G-select mode: the substitution input is the
     packed profile block (npk, Qc, LANES) + per-column reference letters,
     resolved in-kernel (see :func:`_gsel_substitution`); None streams the
-    precomputed (Jt, Qc, LANES) substitution tensor instead."""
+    precomputed (Jt, Qc, LANES) substitution tensor instead.
+
+    ``rowseg`` (sequence-parallel tile mode, requires stream+resume and
+    nq == 1): the call covers ONE externally-chosen row chunk — the
+    global row offset arrives traced in gaps[4] and the down-state
+    planes (chunk-boundary H / prefix max / stats / E) thread through
+    input/output refs instead of living in per-call scratch.  Because
+    under shard_map every device runs the same traced program, the
+    boundary-vs-neighbor selection for the left edge (device 0) and the
+    top edge (row chunk 0) happens in the XLA caller (dist/seqpar_scan),
+    which pre-fills the resume/down inputs with bordered boundary values
+    where no producer tile exists."""
     local = mode == "sw"
     qb, qe, db, de = (True,) * 4 if local else free
     neg = NEG_INF32  # plain int: jnp constants made here would be captured
@@ -428,6 +439,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             ain_ref = refs.pop(0)
             sin_refs = ([refs.pop(0) for _ in range(6)]
                         if want_stats else [])
+        if rowseg:
+            # down-state of the row chunk above, one value per column:
+            # toph (last-row H), prefix-max seed, [E for trace],
+            # [Hm Hs Hl / PMm PMs PMl for stats]
+            dinh_ref = refs.pop(0)
+            dinp_ref = refs.pop(0)
+            dine_ref = refs.pop(0) if want_trace else None
+            dins_refs = ([refs.pop(0) for _ in range(6)]
+                         if want_stats else [])
         out_ref = refs.pop(0)
         if stream:
             hout_ref = refs.pop(0)
@@ -435,6 +455,12 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             tout_ref = refs.pop(0)
             sout_refs = ([refs.pop(0) for _ in range(6)]
                          if want_stats else [])
+        if rowseg:
+            douth_ref = refs.pop(0)
+            doutp_ref = refs.pop(0)
+            doute_ref = refs.pop(0) if want_trace else None
+            douts_refs = ([refs.pop(0) for _ in range(6)]
+                          if want_stats else [])
         trace_ref = refs.pop(0) if want_trace else None
         tab_refs = [refs.pop(0) for _ in range(nplanes)] if want_table else []
         row_refs = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
@@ -466,7 +492,9 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         j0 = gaps_ref[3]   # global column offset (reference streaming)
         tq = pl.program_id(1)
         jblk = pl.program_id(2)
-        r0 = tq * Qc
+        # rowseg: the row chunk is chosen by the caller per superstep
+        # (traced), not by the grid
+        r0 = gaps_ref[4] if rowseg else tq * Qc
         ii = jax.lax.broadcasted_iota(I32, (Qc, LANES), 0)
         ig = r0 + ii                               # global query row
         # loop-invariant slabs hoisted out of the column sweep
@@ -606,16 +634,22 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             if chunked:
                 dH_j = dH[pl.ds(jl, 1), :]
                 toph = jnp.where(tq == 0, top_b(j + 1) * ones, dH_j)
+            elif rowseg:
+                toph = dinh_ref[0, pl.ds(jj, 1), :]
             else:
                 toph = top_b(j + 1) * ones
             # Vertical-gap origin above the chunk: for the top chunk the
             # boundary cell (A[-1] = H[0][j+1] - open + ext*(-1)); deeper
             # chunks use the carried cross-chunk prefix max.
-            seed0 = top_b(j + 1) - open_ + ext * (r0 - 1)
-            if chunked:
-                seed = jnp.where(tq == 0, seed0 * ones, dPM[pl.ds(jl, 1), :])
+            if rowseg:
+                seed = dinp_ref[0, pl.ds(jj, 1), :]
             else:
-                seed = seed0 * ones
+                seed0 = top_b(j + 1) - open_ + ext * (r0 - 1)
+                if chunked:
+                    seed = jnp.where(tq == 0, seed0 * ones,
+                                     dPM[pl.ds(jl, 1), :])
+                else:
+                    seed = seed0 * ones
             a = htemp + a_base
 
             if want_stats and packed:
@@ -692,6 +726,10 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     sl = jnp.where(tq == 0, seed_l + z1,
                                    dPMl[pl.ds(jl, 1), :])
                     seeds = (sm, ss_, sl)
+                elif rowseg:
+                    seeds = (dins_refs[3][0, pl.ds(jj, 1), :],
+                             dins_refs[4][0, pl.ds(jj, 1), :],
+                             dins_refs[5][0, pl.ds(jj, 1), :])
                 else:
                     seeds = (jnp.int32(0), jnp.int32(0), seed_l)
                 pm, (Em, Es, Elm) = _prefix_argmax_exclusive(
@@ -733,6 +771,8 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 h_up = jnp.where(pmasks[0], toph, _roll1(H, 1))
                 if chunked:
                     e_top = jnp.where(tq == 0, neg * ones, dE[pl.ds(jl, 1), :])
+                elif rowseg:
+                    e_top = dine_ref[0, pl.ds(jj, 1), :]
                 else:
                     e_top = neg * ones
                 e_up = jnp.where(pmasks[0], e_top, _roll1(E, 1))
@@ -771,6 +811,10 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                         jnp.where(tq == 0, 0 * ones1, dHm[pl.ds(jl, 1), :]),
                         jnp.where(tq == 0, 0 * ones1, dHs[pl.ds(jl, 1), :]),
                         jnp.where(tq == 0, top_l1, dHl[pl.ds(jl, 1), :]))
+                elif rowseg:
+                    new_htop += (dins_refs[0][0, pl.ds(jj, 1), :],
+                                 dins_refs[1][0, pl.ds(jj, 1), :],
+                                 dins_refs[2][0, pl.ds(jj, 1), :])
                 else:
                     new_htop += (0 * ones1, 0 * ones1, top_l1)
             if chunked:
@@ -807,6 +851,30 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                         seed, a.max(axis=0, keepdims=True))
                 if want_trace:
                     dE[pl.ds(jl, 1), :] = E[Qc - 1:Qc, :]
+            elif rowseg:
+                # emit this chunk's down-state for the NEXT row chunk
+                # (consumed by the same device's next superstep)
+                douth_ref[0, pl.ds(jj, 1), :] = H[Qc - 1:Qc, :]
+                if want_stats:
+                    lastA = a[Qc - 1:Qc, :]
+                    prev = pm[Qc - 1:Qc, :]
+                    take_last = lastA >= prev
+                    doutp_ref[0, pl.ds(jj, 1), :] = jnp.where(
+                        take_last, lastA, prev)
+                    douts_refs[0][0, pl.ds(jj, 1), :] = Hm[Qc - 1:Qc, :]
+                    douts_refs[1][0, pl.ds(jj, 1), :] = Hs[Qc - 1:Qc, :]
+                    douts_refs[2][0, pl.ds(jj, 1), :] = Hl[Qc - 1:Qc, :]
+                    douts_refs[3][0, pl.ds(jj, 1), :] = jnp.where(
+                        take_last, Tm[Qc - 1:Qc, :], Em[Qc - 1:Qc, :])
+                    douts_refs[4][0, pl.ds(jj, 1), :] = jnp.where(
+                        take_last, Ts[Qc - 1:Qc, :], Es[Qc - 1:Qc, :])
+                    douts_refs[5][0, pl.ds(jj, 1), :] = jnp.where(
+                        take_last, Tlm[Qc - 1:Qc, :], Elm[Qc - 1:Qc, :])
+                else:
+                    doutp_ref[0, pl.ds(jj, 1), :] = jnp.maximum(
+                        seed, a.max(axis=0, keepdims=True))
+                if want_trace:
+                    doute_ref[0, pl.ds(jj, 1), :] = E[Qc - 1:Qc, :]
 
             inseq = imask & (j < rlen)
             # packed stats never serve table/rowcol, so the separate
@@ -1533,3 +1601,182 @@ def scan_score_segment(
         out["trace_table_seg"] = (
             res[4 + nstate].transpose(0, 3, 2, 1).reshape(B, Qp, Rseg))
     return out, new_state
+
+
+def rowseg_plan(q_chunk, C, outputs, A):
+    """(Jt, nj) column tiling for a seqpar rowseg tile, or None if the
+    (q_chunk x C) tile cannot run as ONE unchunked kernel call."""
+    plan = _plan(q_chunk, C, outputs, npk=_npk(A))
+    if plan is None or plan[0] != q_chunk or plan[1] != 1:
+        return None
+    return plan[2], plan[3]
+
+
+def scan_rowseg_step(
+    gpack_chunk,   # (nb or 1, NPK, Qc, LANES) int32 — THIS row chunk
+    ridx_seg,      # (B, C) int32 — the device's reference column shard
+    qlen,          # (B,) int32 — GLOBAL query lengths
+    rlen,          # (B,) int32 — GLOBAL reference lengths
+    state,         # left-edge resume state {h, f, t, acc[, stats]}
+    down,          # {h, pm[, e][, stats]} down planes, (nb, C, LANES)
+    qidx_chunk=None,   # (B or 1, Qc) int32 — required for stats
+    *,
+    open_,
+    ext,
+    mode: str,
+    free: tuple[bool, bool, bool, bool],
+    width: str = "32",
+    outputs: str = "score",     # "score" | "stats" | "trace"
+    row_offset,    # traced: global row index of this chunk's first row
+    col_offset,    # traced: global column index of this shard's start
+    qp_total: int,  # static: global padded query length (sentinels)
+    interpret: bool = False,
+    alphabet: int,  # static A
+):
+    """One (row chunk x column shard) tile of a sequence-parallel fill.
+
+    The Pallas twin of one ``superstep`` tile in dist/seqpar.py: device d
+    holds reference columns [col_offset, col_offset+C) and sweeps them
+    for query rows [row_offset, row_offset+Qc).  State threads two ways —
+    ``state`` rides rightward (the shard's final H/F/diag column, the
+    halo a neighbor consumes via ppermute), ``down`` rides downward
+    (device-local, per-column last-row H / prefix-max seeds / stats / E).
+    The caller pre-fills both with bordered boundary values when no
+    producer tile exists (row chunk 0 / device 0) — see
+    dist/seqpar_scan.py.  G-select only (A <= 32); requires the same
+    gap_open >= gap_extend (> for stats) exactness contract as the other
+    scan kernels.  Returns (new_state, new_down, trace_tile_or_None).
+    """
+    want_stats = outputs == "stats"
+    want_trace = outputs == "trace"
+    A = alphabet
+    npk = _npk(A)
+    Qc = gpack_chunk.shape[2]
+    B, C = ridx_seg.shape
+    assert B % LANES == 0
+    nb = B // LANES
+    tile = rowseg_plan(Qc, C, outputs, A)
+    assert tile is not None, (
+        f"rowseg tile (Qc={Qc}, C={C}, {outputs}) does not fit VMEM "
+        f"unchunked; lower q_chunk")
+    Jt, nj = tile
+    TROWS = 4 if want_stats else 1
+
+    qlen_b = jnp.asarray(qlen, I32).reshape(nb, 1, LANES)
+    rlen_b = jnp.asarray(rlen, I32).reshape(nb, 1, LANES)
+    gaps = jnp.stack([jnp.asarray(open_, I32), jnp.asarray(ext, I32),
+                      jnp.asarray(0, I32), jnp.asarray(col_offset, I32),
+                      jnp.asarray(row_offset, I32)])
+
+    kernel = _make_kernel(Qc, 1, Jt, nj, mode, free, width, C, qp_total,
+                          want_stats=want_stats, want_trace=want_trace,
+                          resume=True, stream=True, gsel_npk=npk,
+                          rowseg=True)
+
+    shared_g = gpack_chunk.shape[0] == 1
+    inputs = [gaps, qlen_b, rlen_b, gpack_chunk]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, LANES), lambda b, t, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npk, Qc, LANES),
+                     (lambda b, t, j: (0, 0, 0, 0)) if shared_g else
+                     (lambda b, t, j: (b, 0, 0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    if want_stats:
+        assert qidx_chunk is not None
+        qidx_full = jnp.broadcast_to(jnp.asarray(qidx_chunk, I32), (B, Qc))
+        qidx_b = qidx_full.reshape(nb, LANES, Qc).transpose(0, 2, 1)
+        inputs.append(qidx_b)
+        in_specs.append(
+            pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
+                         memory_space=pltpu.VMEM))
+    ridx_b = jnp.asarray(ridx_seg, I32).reshape(
+        nb, LANES, C).transpose(0, 2, 1)
+    inputs.append(ridx_b)
+    in_specs.append(
+        pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
+                     memory_space=pltpu.VMEM))
+
+    chunk_spec = pl.BlockSpec((1, 1, Qc, LANES), lambda b, t, j: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec(
+        (1, 1, TROWS, LANES), lambda b, t, j: (b, t, 0, 0),
+        memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    down_spec = pl.BlockSpec((1, Jt, LANES), lambda b, t, j: (b, j, 0),
+                             memory_space=pltpu.VMEM)
+    nstate = 6 if want_stats else 0
+    ndown = 2 + (1 if want_trace else 0) + nstate
+
+    inputs += [state["h"], state["f"], state["t"], state["acc"]]
+    in_specs += [chunk_spec, chunk_spec, carry_spec, acc_spec]
+    if want_stats:
+        inputs += list(state["stats"])
+        in_specs += [chunk_spec] * nstate
+    inputs += [down["h"], down["pm"]]
+    in_specs += [down_spec, down_spec]
+    if want_trace:
+        inputs.append(down["e"])
+        in_specs.append(down_spec)
+    if want_stats:
+        inputs += list(down["stats"])
+        in_specs += [down_spec] * nstate
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, 8, LANES), I32),
+        jax.ShapeDtypeStruct((nb, 1, Qc, LANES), I32),       # H boundary
+        jax.ShapeDtypeStruct((nb, 1, Qc, LANES), I32),       # F boundary
+        jax.ShapeDtypeStruct((nb, 1, TROWS, LANES), I32),    # diag carry
+    ] + [jax.ShapeDtypeStruct((nb, 1, Qc, LANES), I32)] * nstate \
+      + [jax.ShapeDtypeStruct((nb, C, LANES), I32)] * ndown
+    out_specs = [acc_spec, chunk_spec, chunk_spec, carry_spec] + \
+        [chunk_spec] * nstate + [down_spec] * ndown
+    if want_trace:
+        out_shape.append(
+            jax.ShapeDtypeStruct((nb, C, Qc, LANES), jnp.int8))
+        out_specs.append(
+            pl.BlockSpec((1, Jt, Qc, LANES), lambda b, t, j: (b, j, t, 0),
+                         memory_space=pltpu.VMEM))
+
+    scratch = [
+        pltpu.VMEM((Qc, LANES), I32),      # hprev
+        pltpu.VMEM((Qc, LANES), I32),      # fprev
+    ]
+    if want_stats:
+        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
+    scratch.append(pltpu.VMEM((TROWS, LANES), I32))  # htop carry
+    scratch.append(pltpu.VMEM((8, LANES), I32))      # acc
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(nb, 1, nj),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    new_state = {"acc": res[0], "h": res[1], "f": res[2], "t": res[3]}
+    ri = 4
+    if want_stats:
+        new_state["stats"] = tuple(res[ri:ri + nstate])
+        ri += nstate
+    new_down = {"h": res[ri], "pm": res[ri + 1]}
+    ri += 2
+    if want_trace:
+        new_down["e"] = res[ri]
+        ri += 1
+    if want_stats:
+        new_down["stats"] = tuple(res[ri:ri + nstate])
+        ri += nstate
+    trace_tile = res[ri] if want_trace else None
+    return new_state, new_down, trace_tile
