@@ -140,6 +140,40 @@ def build_batch(
     return PairBatch(profile=profile, qidx=qidx, ridx=ridx, qlen=qlen, rlen=rlen)
 
 
+def _pack_side(seqs, P):
+    """Sequences -> (padded (B, P') uint8, (B,) int32 lens, P').
+
+    The native single-pass packer (native/packer.py: PyBytes header
+    reads + memcpy) serves list[bytes] directly; anything else is
+    normalized to bytes and retried, and the numpy join + masked-scatter
+    formulation remains as the no-compiler fallback.
+    """
+    from ..errors import InteriorNulByte
+    from ..native import packer
+
+    packed = packer.pack_side(seqs, P, length_bucket)
+    if packed is None and (
+            type(seqs) is not list
+            or any(type(s) is not bytes for s in seqs)):
+        seqs = [s.encode() if isinstance(s, str)
+                else (s if type(s) is bytes else bytes(s)) for s in seqs]
+        packed = packer.pack_side(seqs, P, length_bucket)
+    if packed is not None:
+        return packed
+    seqs = [s.encode() if isinstance(s, str)
+            else (s if type(s) is bytes else bytes(s)) for s in seqs]
+    B = len(seqs)
+    joined = b"".join(seqs)
+    if 0 in joined:
+        raise InteriorNulByte("sequence contains an interior NUL byte")
+    lens = np.fromiter((len(s) for s in seqs), np.int32, B)
+    P = P or length_bucket(int(lens.max()) if B else 1)
+    mask = np.arange(P)[None, :] < lens[:, None]
+    padded = np.zeros((B, P), np.uint8)
+    padded[mask] = np.frombuffer(joined, np.uint8)
+    return padded, lens, P
+
+
 def pack_pairs(
     matrix,
     queries,
@@ -150,25 +184,14 @@ def pack_pairs(
 ):
     """Vectorized byte-sequences -> PairBatch (the production host path).
 
-    One join + one mapper gather + one masked scatter per side replaces
-    the per-pair encode/pad loops (~70x less host time on large batches).
-    ``profile`` set means profile reuse: query tensors stored once.
+    One native packing pass per side (or the numpy join + masked-scatter
+    fallback) replaces the per-pair encode/pad loops.  ``profile`` set
+    means profile reuse: query tensors stored once.
 
     Returns (batch, qlens list, rlens list).
     """
-    from ..errors import InteriorNulByte
-
     B = len(references)
-    refs = [r.encode() if isinstance(r, str)
-            else (r if type(r) is bytes else bytes(r)) for r in references]
-    rjoined = b"".join(refs)
-    if 0 in rjoined:
-        raise InteriorNulByte("sequence contains an interior NUL byte")
-    rlens = np.fromiter((len(r) for r in refs), np.int32, B)
-    Rp = Rp or length_bucket(int(rlens.max()) if B else 1)
-    rmask = np.arange(Rp)[None, :] < rlens[:, None]
-    rbytes = np.zeros((B, Rp), np.uint8)
-    rbytes[rmask] = np.frombuffer(rjoined, np.uint8)
+    rbytes, rlens, Rp = _pack_side(references, Rp)
     # mapper lookup runs ON DEVICE: the batch ships packed uint8 bytes
     # (4x less transfer) and the host never pays the gather.  The Pallas
     # route encodes INSIDE its fused jit; PairBatch.ridx encodes lazily
@@ -185,18 +208,9 @@ def pack_pairs(
         qidx[0, :ql] = profile.qidx
         qlens = np.full(B, ql, np.int32)
     else:
-        qs = [q.encode() if isinstance(q, str)
-              else (q if type(q) is bytes else bytes(q)) for q in queries]
-        if len(qs) != B:
+        if len(queries) != B:
             raise ValueError("queries and references must have equal length")
-        qjoined = b"".join(qs)
-        if 0 in qjoined:
-            raise InteriorNulByte("sequence contains an interior NUL byte")
-        qlens = np.fromiter((len(q) for q in qs), np.int32, B)
-        Qp = Qp or length_bucket(int(qlens.max()) if B else 1)
-        qmask = np.arange(Qp)[None, :] < qlens[:, None]
-        qbytes = np.zeros((B, Qp), np.uint8)
-        qbytes[qmask] = np.frombuffer(qjoined, np.uint8)
+        qbytes, qlens, Qp = _pack_side(queries, Qp)
         # padded query lanes must never count as matches (fill -1);
         # encoding is lazy (PairBatch.qidx)
         qidx = None
@@ -217,7 +231,7 @@ def pack_pairs(
         if prof is None else None,
         qbytes=qbytes, rbytes=rbytes,
         mapper=np.asarray(matrix.mapper, np.int32))
-    return batch, [int(x) for x in qlens], [int(x) for x in rlens]
+    return batch, qlens.tolist(), rlens.tolist()
 
 
 _ENCODE_JIT = None
