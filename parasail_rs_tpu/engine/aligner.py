@@ -25,7 +25,7 @@ from ..matrices import Matrix
 from ..ops.specs import KernelKey
 from . import dispatch
 from .profile import Profile
-from .result import Alignment, SSWResult
+from .result import Alignment, PairFields, SSWResult
 
 log = logging.getLogger("parasail_rs_tpu")
 
@@ -295,37 +295,31 @@ class Aligner:
     def _alignments_from(self, out, qlens, rlens):
         """Vectorized result-object construction.
 
-        Per-pair numpy indexing and per-pair flag dicts cost ~8 us each
-        — 65 ms for an 8192-pair batch, 14x the device kernel.  Instead:
-        one ``tolist()`` pass per scalar field (C speed), two SHARED
-        read-only flag dicts (they differ only in ``saturated``; every
-        accessor only reads them), and plain-int field dicts per pair.
-        Cell-sized fields (tables/rows/cols/trace) still slice per pair.
+        Per-pair field dicts cost ~1.7 us each — 14 ms for an 8192-pair
+        batch, 3x the device kernel.  Instead every Alignment holds a
+        :class:`PairFields` view over the SHARED columnar output arrays
+        (scalars index on access; cell-sized planes slice on access) and
+        one of two shared read-only flag dicts (they differ only in
+        ``saturated``; every accessor only reads them).
         """
         n = len(rlens)
         big = {k: v for k, v in out.items()
                if k.endswith(("_table", "_row", "_col"))}
-        cols = {k: np.asarray(v).tolist() for k, v in out.items()
-                if k not in big}
-        names = list(cols)
-        data = [dict(zip(names, vals)) for vals in zip(*cols.values())] \
-            if names else [{} for _ in range(n)]
+        cols = {k: np.asarray(v) for k, v in out.items() if k not in big}
+        sat = cols.get("saturated")
+        sat_l = ([False] * n if sat is None else
+                 np.asarray(sat, bool).tolist())
         f_sat = self._flags(True)
         f_un = self._flags(False)
-        mk = Alignment
+        mk, pf = Alignment, PairFields
         matrix, free, mode = self.matrix, self.key.free, self.key.mode
-        res = []
-        for b in range(n):
-            fields = data[b]
-            if big:
-                fields.update(dispatch.slice_pair(
-                    big, b, qlens[b], rlens[b]))
-            res.append(mk(
-                fields=fields,
-                flags=f_sat if fields.get("saturated", False) else f_un,
-                query_len=qlens[b], ref_len=rlens[b],
-                matrix=matrix, free=free, mode=mode))
-        return res
+        return [
+            mk(fields=pf(cols, big, b, qlens[b], rlens[b]),
+               flags=f_sat if sat_l[b] else f_un,
+               query_len=qlens[b], ref_len=rlens[b],
+               matrix=matrix, free=free, mode=mode)
+            for b in range(n)
+        ]
 
     def _run_packed(self, batch, qlens, rlens):
         return self._alignments_from(self._execute(batch), qlens, rlens)
