@@ -441,7 +441,7 @@ def _secondary_configs(on_tpu, out, checkpoint):
 
         def cig():
             res = tr.align_batch(q4, r4)
-            return [a.get_cigar(q, r) for a, q, r in zip(res, q4, r4)]
+            return tr.cigars(res, q4, r4)   # one native batch walk
 
         guard("cfg4_warm", cig)
         dt = guard("cfg4", lambda: _timeit(cig))

@@ -19,7 +19,7 @@ import logging
 
 import numpy as np
 
-from ..errors import InteriorNulByte, NoBandwidth, QueryRequired
+from ..errors import InteriorNulByte, NoBandwidth, NoTrace, QueryRequired
 from ..golden.model import free_flags
 from ..matrices import Matrix
 from ..ops.specs import KernelKey
@@ -384,6 +384,40 @@ class Aligner:
             for i, aln in zip(idx, sub):
                 results[i] = aln
         return results
+
+    def cigars(self, alignments, queries, references) -> list[str]:
+        """Batched CIGAR extraction over trace results.
+
+        The same strings as ``a.get_cigar(q, r)`` per pair, but ONE
+        native batch walk (OpenMP over pairs, native/ptwalk.cc) instead
+        of a per-pair FFI round-trip — ~20x less host time on large
+        batches.  Falls back to the per-pair path when the native walker
+        is unavailable.
+        """
+        from ..constants import CIGAR_OPS
+        from ..golden.model import free_flags
+        from ..native import walker
+
+        alignments = list(alignments)
+        if not alignments:
+            return []
+        if not alignments[0].is_trace():
+            raise NoTrace("cigars()")
+        mode = self.key.mode
+        free = self.key.free if mode == "sg" else free_flags(mode)
+        qb, _, db, _ = free
+        walked = walker.walk_batch(
+            [a.fields["trace_table"] for a in alignments],
+            queries, references,
+            [a.get_end_query() for a in alignments],
+            [a.get_end_ref() for a in alignments],
+            local=mode == "sw", qb=qb, db=db)
+        if walked is None:
+            return [a.get_cigar(q, r)
+                    for a, q, r in zip(alignments, queries, references)]
+        return ["".join(f"{int(v) >> 4}{CIGAR_OPS[int(v) & 0xF]}"
+                        for v in packed)
+                for packed, _bq, _br in walked]
 
     # -- banded global NW (src/aligner/mod.rs:457-489) -----------------------
     def banded_nw(self, query, reference) -> Alignment:

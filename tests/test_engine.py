@@ -196,6 +196,36 @@ def test_trace_table():
     str(table)
 
 
+@pytest.mark.parametrize("mode_setter", ["global_", "semi_global", "local"])
+def test_cigars_batch_matches_per_pair(mode_setter):
+    """Aligner.cigars (one native batch walk) must produce the exact
+    strings the per-pair get_cigar path yields, for every mode."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    qs = [rng.choice(alpha, size=int(l)).tobytes()
+          for l in rng.integers(5, 40, 32)]
+    rs = [rng.choice(alpha, size=int(l)).tobytes()
+          for l in rng.integers(5, 40, 32)]
+    builder = Aligner.new().use_trace().gap_open(3).gap_extend(1)
+    getattr(builder, mode_setter)()
+    al = builder.build()
+    res = al.align_batch(qs, rs)
+    batch = al.cigars(res, qs, rs)
+    per_pair = [a.get_cigar(q, r) for a, q, r in zip(res, qs, rs)]
+    assert batch == per_pair
+
+
+def test_cigars_requires_trace():
+    from parasail_rs_tpu.errors import NoTrace
+
+    al = Aligner.new().build()
+    res = al.align_batch([b"ACGT"], [b"ACGT"])
+    with pytest.raises(NoTrace):
+        al.cigars(res, [b"ACGT"], [b"ACGT"])
+
+
 def test_traceback_strings_and_cigar(capsys):
     query = reference = b"ACGT"
     result = Aligner.new().use_trace().striped().build().align(query, reference)
