@@ -131,6 +131,45 @@ def test_seqpar_scan_matches_xla_seqpar():
                                       np.asarray(ref[k]), err_msg=k)
 
 
+def test_seqpar_scan_fuzz_vs_golden():
+    """Randomized shapes/penalties: tiles ending at every alignment of
+    chunk and device boundaries must stay bit-exact."""
+    m = Matrix.create(b"ACGT", 3, -2)
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        Qp = int(rng.choice([64, 128]))
+        Rp = int(rng.choice([64, 128]))
+        qc = int(rng.choice([8, 16, 32]))
+        open_, ext = int(rng.integers(1, 8)), 1
+        mode = ["nw", "sg", "sw"][trial % 3]
+        B = 3
+        prof = np.zeros((B, Qp, m.size), np.int32)
+        ridx = np.zeros((B, Rp), np.int32)
+        qlen = np.zeros(B, np.int32)
+        rlen = np.zeros(B, np.int32)
+        pairs = []
+        for b in range(B):
+            ql = int(rng.integers(1, Qp + 1))
+            rl = int(rng.integers(1, Rp + 1))
+            q = rng.choice(list(b"ACGT"), size=ql).astype("uint8").tobytes()
+            r = rng.choice(list(b"ACGT"), size=rl).astype("uint8").tobytes()
+            pairs.append((q, r))
+            prof[b, :ql] = profile_rows(m, m.encode(q))
+            ridx[b, :rl] = m.encode(r)
+            qlen[b], rlen[b] = ql, rl
+        out = seqpar_align_scan(
+            prof, ridx, qlen, rlen, open_=open_, ext=ext, mesh=MESH,
+            mode=mode, free=(False, True, True, False) if mode == "sg"
+            else (False,) * 4, q_chunk=qc)
+        for b, (q, r) in enumerate(pairs):
+            g = golden.align_seqs(
+                q, r, m, open_, ext, mode,
+                (False, True, True, False) if mode == "sg" else None)
+            assert int(out["score"][b]) == g.score, (trial, mode, b)
+            assert int(out["end_query"][b]) == g.end_query, (trial, mode, b)
+            assert int(out["end_ref"][b]) == g.end_ref, (trial, mode, b)
+
+
 def test_seqpar_scan_fits_gates():
     assert seqpar_scan_fits(256, 2048, 8, "score", 4)
     assert not seqpar_scan_fits(256, 2044, 8, "score", 4)   # Rp % D
