@@ -67,3 +67,16 @@ sp_tr = seqpar_align(prof, ridx, np.array([len(q)], np.int32),
                      outputs="trace")
 cigar = seqpar_cigars(sp_tr, [q], [r], "sw", (True,) * 4)[0]
 print("sequence-parallel CIGAR (first 60 chars):", cigar[:60])
+
+# Production sequence-parallel: the Pallas rowseg route (engine-style
+# batch-major inputs; the whole superstep pipeline is one compiled
+# lax.scan, timing identical to the one-shot kernel per chip).
+from parasail_rs_tpu.dist import seqpar_align_scan
+
+prof_bm = np.ascontiguousarray(np.transpose(prof, (2, 0, 1)))  # (1, L, A)
+sps = seqpar_align_scan(
+    prof_bm, ridx.T, np.array([len(q)], np.int32),
+    np.array([len(r)], np.int32),
+    open_=5, ext=2, mesh=mesh, mode="sw", q_chunk=32)
+print("Pallas seqpar score (must match):", int(sps["score"][0]))
+assert int(sps["score"][0]) == int(sp["score"][0])
