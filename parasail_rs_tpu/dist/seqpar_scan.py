@@ -57,12 +57,22 @@ I32 = jnp.int32
 
 
 def seqpar_scan_fits(q_chunk: int, Rp: int, n_devices: int,
-                     outputs: str, A: int) -> bool:
-    """Can the Pallas rowseg route serve this seqpar configuration?"""
+                     outputs: str, A: int, Qp: int | None = None,
+                     batch: int = LANES) -> bool:
+    """Can the Pallas rowseg route serve this seqpar configuration?
+
+    For ``outputs="trace"`` pass ``Qp``/``batch`` too: every device
+    accumulates its (batch, Qp, Rp/D) int8 flag shard in HBM during the
+    pipeline, and the route declines when that exceeds 4 GB.
+    """
     if A > 32 or outputs not in ("score", "stats", "trace"):
         return False
     if Rp % n_devices or q_chunk % 8:
         return False
+    if outputs == "trace" and Qp is not None:
+        Bp = (batch + LANES - 1) // LANES * LANES
+        if Bp * Qp * (Rp // n_devices) > 4 << 30:
+            return False
     return rowseg_plan(q_chunk, Rp // n_devices, outputs, A) is not None
 
 
@@ -330,7 +340,7 @@ def seqpar_align_scan(
     Bq, Qp, A = profile.shape
     B0, Rp = ridx.shape
     D = mesh.devices.size
-    if not seqpar_scan_fits(q_chunk, Rp, D, outputs, A):
+    if not seqpar_scan_fits(q_chunk, Rp, D, outputs, A, Qp=Qp, batch=B0):
         raise ValueError(
             f"seqpar scan route cannot serve (q_chunk={q_chunk}, Rp={Rp}, "
             f"D={D}, {outputs}, A={A}); use dist.seqpar.seqpar_align")

@@ -604,14 +604,20 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
         return False
     if batch.score_values.min() < -128 or batch.score_values.max() > 127:
         return False
-    if not scan_fits_stream(batch.qp, STREAM_SEG, outputs,
-                            A=int(batch.score_values.shape[-1])):
+    from ..ops.scan_kernel import _gsel, _npk
+
+    A = int(batch.score_values.shape[-1])
+    if not scan_fits_stream(batch.qp, STREAM_SEG, outputs, A=A):
         return False
-    # Per-segment substitution tensor (Bpad, Qp, STREAM_SEG) int8 must fit
-    # the same HBM budget as the one-shot route's scol gate — a 2k-pair x
-    # 1k-query batch would otherwise allocate gigabytes per segment.
+    # The streamed input must fit the same HBM budget as the one-shot
+    # route's gate.  G-select (the default) ships only the packed
+    # letter-indexed profile (Bpad, npk, Qp, LANES) — segment-invariant
+    # and 4*npk bytes per query cell; the legacy scol path materializes
+    # a per-segment (Bpad, Qp, STREAM_SEG) int8 substitution tensor.
     Bpad = (batch.size + 127) // 128 * 128
-    if Bpad * batch.qp * STREAM_SEG > 2 << 30:
+    in_bytes = (Bpad * batch.qp * _npk(A) * 4 if _gsel(A)
+                else Bpad * batch.qp * STREAM_SEG)
+    if in_bytes > 2 << 30:
         return False
     if outputs == "trace":
         # the assembled host flag plane must stay within reason

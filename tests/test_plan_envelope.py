@@ -39,6 +39,25 @@ def test_midrange_routes_to_pallas(monkeypatch):
     assert route == "pallas", reason
 
 
+def test_long_pairs_route_to_stream(monkeypatch):
+    """16k/64k-bp pair batches must stream, not drop to the wavefront.
+
+    Regression: the streaming gate still sized the per-segment scol
+    substitution tensor (Bpad*Qp*STREAM_SEG) after G-select removed it,
+    so a 128-pair 16kbp batch (4.3 GB by the stale formula, ~16 MB of
+    real packed-profile input) was declined and fell onto the wavefront
+    — which crashed the TPU worker at that size."""
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    m = Matrix.create(b"ACGT", 2, -3)
+    rng = np.random.default_rng(6)
+    for L in (16384, 65536):
+        seqs = [rng.choice(list(b"ACGT"), size=L).astype("uint8").tobytes()
+                for _ in range(2)]
+        batch, _, _ = pack_pairs(m, seqs * 64, seqs * 64)
+        route, reason = plan_route(batch, "score", 5, 1)
+        assert route == "stream", (L, route, reason)
+
+
 @pytest.mark.parametrize("impl", ["flat", "two", "cummax"])
 def test_prefix_impls_bit_identical(impl, monkeypatch):
     """The PT_PREFIX_IMPL perf knob must never change results."""

@@ -176,3 +176,6 @@ def test_seqpar_scan_fits_gates():
     assert not seqpar_scan_fits(256, 2048, 8, "score", 64)  # no G-select
     assert not seqpar_scan_fits(252, 2048, 8, "score", 4)   # sublane align
     assert not seqpar_scan_fits(256, 2048, 8, "table", 4)   # output class
+    # trace HBM gate: per-device flag shard beyond 4GB declines
+    assert seqpar_scan_fits(256, 1 << 14, 8, "trace", 4, Qp=1 << 14)
+    assert not seqpar_scan_fits(256, 1 << 20, 8, "trace", 4, Qp=1 << 19)
