@@ -473,6 +473,21 @@ def _secondary_configs(on_tpu, out, checkpoint):
         checkpoint()
         print(f"[bench] cfg5 mixed 100bp-2kbp x{len(mixed_q)}: {dt*1e3:.0f} ms "
               f"({cells/dt/1e9:.2f} GCUPS e2e)", file=sys.stderr)
+
+        # 6: long pairs through the streamed scan route (16kbp x 16kbp,
+        # 128-pair batch — the long-read production path)
+        if on_tpu:
+            L6, B6 = 16384, 128
+            q6 = seqs(dna, B6, L6, L6 + 1)
+            r6 = seqs(dna, B6, L6, L6 + 1)
+            lg = Aligner.new().gap_open(5).gap_extend(1).local().build()
+            guard("cfg6_warm", lambda: lg.align_batch(q6, r6), timeout=300)
+            dt = guard("cfg6", lambda: _timeit(
+                lambda: lg.align_batch(q6, r6), reps=1), timeout=240)
+            out["cfg6_stream16k_gcups"] = round(B6 * L6 * L6 / dt / 1e9, 1)
+            checkpoint()
+            print(f"[bench] cfg6 streamed 16kbp x{B6}: {dt*1e3:.0f} ms "
+                  f"({B6*L6*L6/dt/1e9:.1f} GCUPS e2e)", file=sys.stderr)
     except SystemExit:
         pass
     except Exception as e:  # secondary sweeps never break the headline
