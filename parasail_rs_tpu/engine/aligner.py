@@ -368,7 +368,14 @@ class Aligner:
             qlens = [len(q) for q in queries]
             qsel = lambda idx: [queries[i] for i in idx]
         rlens = [len(r) for r in refs]
-        bins = plan_bins(qlens, rlens, max_cells=max_cells)
+        # Scalar-output classes carry no B-scaled cell-sized planes, so
+        # ``max_cells`` must not shrink launches below the kernel's 128
+        # vector lanes: a lone 16kbp pair costs the same launch as 128
+        # of them.  Cell-sized outputs (trace/tables) keep the cells cap
+        # as the true HBM bound.
+        cell_sized = self.key.outputs in ("trace", "table", "stats_table")
+        bins = plan_bins(qlens, rlens, max_cells=max_cells,
+                         lane_quantum=1 if cell_sized else 128)
         results: list[Alignment | None] = [None] * len(refs)
         # dispatch every bin before fetching any: device compute of bin k
         # overlaps host packing of bin k+1 and the fetches at the end

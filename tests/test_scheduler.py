@@ -29,6 +29,19 @@ def test_plan_bins_respects_max_cells():
         assert len(b.indices) * b.qp * b.rp <= 128 * 112 * 112 + b.qp * b.rp
 
 
+def test_plan_bins_lane_quantum_overrides_cells_cap():
+    # 128 vector lanes cost one launch whether 1 or 128 pairs ride them:
+    # scalar-output binning must not split long-pair groups below the
+    # lane quantum, even when qp*rp alone exceeds max_cells
+    qlens = [16000] * 200
+    rlens = [16000] * 200
+    bins = plan_bins(qlens, rlens, max_cells=1 << 28, lane_quantum=128)
+    assert sorted(len(b.indices) for b in bins) == [72, 128]
+    # trace/table callers keep the cells cap as the true bound
+    bins = plan_bins(qlens, rlens, max_cells=1 << 28, lane_quantum=1)
+    assert all(len(b.indices) == 1 for b in bins)
+
+
 def test_align_many_matches_align():
     rng = np.random.default_rng(9)
     m = Matrix.create(b"ACGT", 2, -3)
