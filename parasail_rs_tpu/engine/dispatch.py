@@ -311,12 +311,9 @@ def execute(
                 return res
             out = res
         else:
-            out = wavefront_align(
-                _device_profile(batch.profile, batch.table, batch.qidx),
-                batch.qidx, batch.ridx, batch.qlen, batch.rlen,
-                open_=np.int32(gap_open), ext=np.int32(gap_extend),
-                mode=mode, free=free, outputs=outputs, width=kernel_width,
-            )
+            out = _wavefront_exec(
+                batch, gap_open=gap_open, gap_extend=gap_extend,
+                mode=mode, free=free, outputs=outputs, width=kernel_width)
             if not fetch:
                 return PendingResult(device_out=dict(out))
         return {k: np.asarray(v) for k, v in out.items()}
@@ -704,6 +701,44 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
     return res
 
 
+WAVEFRONT_TPU_MAX_SPAN = int(
+    os.environ.get("PT_WAVEFRONT_TPU_MAX_SPAN", 8192))
+
+
+def _wavefront_exec(batch, *, gap_open, gap_extend, mode, free, outputs,
+                    width, banded=False, bandwidth=0):
+    """XLA wavefront execution with a big-shape safety valve.
+
+    The wavefront's anti-diagonal ``lax.scan`` runs Qp+Rp sequential
+    steps; beyond several thousand steps the TPU runtime has been
+    observed to CRASH the worker process outright (observed at 16kbp
+    pairs on the dev v5e), killing every subsequent dispatch in the
+    process.  Batches that big only reach the wavefront for configs
+    outside every scan-kernel contract (e.g. gap_open < gap_extend), so
+    correctness beats speed: run the same jitted kernel on the host CPU
+    backend instead of risking the accelerator.
+    PT_WAVEFRONT_TPU_MAX_SPAN overrides the threshold.
+    """
+    import jax
+
+    args = [
+        _device_profile(batch.profile, batch.table, batch.qidx),
+        batch.qidx, batch.ridx, batch.qlen, batch.rlen]
+    if (jax.default_backend() == "tpu"
+            and batch.qp + batch.rp > WAVEFRONT_TPU_MAX_SPAN):
+        log.warning(
+            "wavefront fallback for a %dx%d batch exceeds the TPU "
+            "sequential-scan safety bound (%d steps); running on the "
+            "host CPU backend instead", batch.qp, batch.rp,
+            WAVEFRONT_TPU_MAX_SPAN)
+        cpu = jax.local_devices(backend="cpu")[0]
+        args = [jax.device_put(np.asarray(a), cpu) for a in args]
+    return wavefront_align(
+        *args, open_=np.int32(gap_open), ext=np.int32(gap_extend),
+        mode=mode, free=free, outputs=outputs, width=width,
+        banded=banded, bandwidth=np.int32(bandwidth or 0))
+
+
 def _execute_streamed_or_fallback(batch, **kw):
     """Run the streamed-segment scan route; on a device failure fall back
     to the XLA wavefront (same safety net as the one-shot route)."""
@@ -713,13 +748,10 @@ def _execute_streamed_or_fallback(batch, **kw):
         log.warning(
             "streamed pallas route failed (%s: %s); falling back to XLA "
             "wavefront", type(e).__name__, e)
-        out = wavefront_align(
-            _device_profile(batch.profile, batch.table, batch.qidx),
-            batch.qidx, batch.ridx, batch.qlen, batch.rlen,
-            open_=np.int32(kw["gap_open"]), ext=np.int32(kw["gap_extend"]),
+        out = _wavefront_exec(
+            batch, gap_open=kw["gap_open"], gap_extend=kw["gap_extend"],
             mode=kw["mode"], free=kw["free"], outputs=kw["outputs"],
-            width=kw["width"],
-        )
+            width=kw["width"])
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -733,14 +765,11 @@ def _execute_pallas_or_fallback(batch, **kw):
         log.warning(
             "pallas route failed (%s: %s); falling back to XLA wavefront",
             type(e).__name__, e)
-        out = wavefront_align(
-            _device_profile(batch.profile, batch.table, batch.qidx),
-            batch.qidx, batch.ridx, batch.qlen, batch.rlen,
-            open_=np.int32(kw["gap_open"]), ext=np.int32(kw["gap_extend"]),
+        out = _wavefront_exec(
+            batch, gap_open=kw["gap_open"], gap_extend=kw["gap_extend"],
             mode=kw["mode"], free=kw["free"], outputs=kw["outputs"],
             width=kw["width"], banded=kw.get("banded", False),
-            bandwidth=np.int32(kw.get("bandwidth") or 0),
-        )
+            bandwidth=kw.get("bandwidth") or 0)
         if not kw.get("fetch", True):
             return PendingResult(device_out=dict(out))
         return {k: np.asarray(v) for k, v in out.items()}

@@ -99,7 +99,7 @@ def _classes(outputs):
     return want_trace, want_stats, want_table, want_rowcol
 
 
-def _plan(Qp, Rp, outputs, npk=None):
+def _plan(Qp, Rp, outputs, npk=None, stream=False):
     """(Qc, nq, Jt, nj) tile plan, or None if nothing fits VMEM.
 
     The chunk size adapts: the whole query in one chunk when its state
@@ -111,9 +111,21 @@ def _plan(Qp, Rp, outputs, npk=None):
     ``npk`` (G-select mode) is the packed-profile plane count
     ceil(A/4): the per-column scol stream is replaced by a fixed
     (npk, Qc, LANES) int32 block; None = legacy scol accounting.
+    ``stream`` marks the resumable-segment kernels, which never pack
+    their stats planes.
     """
     want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
     nplanes = 4 if want_stats else 1
+    # The scalar-stats class packs [m|s|l] into one plane when the bit
+    # fields fit (stats_pack_params) and its E-prefix carries ONE
+    # payload; unpacked stats (streamed segments, large spans, table/
+    # rowcol classes) carry three payload planes through the log2(Qc)
+    # prefix steps — a much larger live set at the loop's peak
+    # (measured: Mosaic scoped-stack OOM at Qc=256 on a 16k-query
+    # streamed stats plan that the live=20 model accepted by 124 KB).
+    packed_stats = (want_stats and not stream
+                    and not (want_table or want_rowcol)
+                    and stats_pack_params(Qp, Rp)[0])
 
     def try_qc(Qc):
         nq = Qp // Qc
@@ -127,7 +139,7 @@ def _plan(Qp, Rp, outputs, npk=None):
             + 4 + (3 if want_stats else 0)
         # ~live column-loop temporaries (H/E/F/htemp/prefix slabs),
         # measured against Mosaic's scoped-stack accounting
-        live = 20 if want_stats else 12
+        live = ((20 if packed_stats else 43) if want_stats else 12)
         fixed = ((nstate + live) * Qc * LANES * 4 + ndown * Rpad * LANES * 4
                  + (2 * nplanes * Qc * LANES * 4 if want_rowcol else 0)
                  + (9 + nplanes) * LANES * 4)
@@ -178,8 +190,8 @@ def scan_fits(Qp, Rp, outputs, A=32) -> bool:
 
 def scan_fits_stream(Qp, Rseg, outputs, A=32) -> bool:
     """Routability of the streamed-segment kernel for one segment."""
-    return _plan(Qp, Rseg, outputs,
-                 npk=_npk(A) if _gsel(A) else None) is not None
+    return _plan(Qp, Rseg, outputs, npk=_npk(A) if _gsel(A) else None,
+                 stream=True) is not None
 
 
 def _npk(A: int) -> int:
@@ -1448,7 +1460,7 @@ def scan_score_segment(
     nb = B // LANES
     gsel = gpack is not None or _gsel(A)
     npk = _npk(A) if gsel else None
-    plan = _plan(Qp, Rseg, outputs, npk=npk)
+    plan = _plan(Qp, Rseg, outputs, npk=npk, stream=True)
     assert plan is not None
     Qc, nq, Jt, nj = plan
     TROWS = 4 if want_stats else 1
@@ -1606,7 +1618,7 @@ def scan_score_segment(
 def rowseg_plan(q_chunk, C, outputs, A):
     """(Jt, nj) column tiling for a seqpar rowseg tile, or None if the
     (q_chunk x C) tile cannot run as ONE unchunked kernel call."""
-    plan = _plan(q_chunk, C, outputs, npk=_npk(A))
+    plan = _plan(q_chunk, C, outputs, npk=_npk(A), stream=True)
     if plan is None or plan[0] != q_chunk or plan[1] != 1:
         return None
     return plan[2], plan[3]
