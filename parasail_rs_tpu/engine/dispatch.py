@@ -585,7 +585,19 @@ def _hmax_bound(batch, gap_open, gap_extend):
     return 1 << max(1, raw - 1).bit_length()
 
 
-STREAM_SEG = 2048      # reference columns per streamed segment
+# Reference columns per streamed segment.  Larger segments amortize the
+# per-segment state round-trip — on hardware a 16kbp score batch runs
+# 37.2 GCUPS at 8192-column segments vs 30.4 at 2048 — but every
+# chunk-boundary down-state plane in VMEM is (segment, LANES) int32, so
+# stats (8 planes) and trace (3) only fit the smaller segment.
+STREAM_SEG = 2048
+
+
+def stream_seg(outputs: str) -> int:
+    env = os.environ.get("PT_STREAM_SEG")
+    if env:
+        return int(env)
+    return 8192 if outputs == "score" else STREAM_SEG
 
 
 def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
@@ -604,7 +616,8 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
     from ..ops.scan_kernel import _gsel, _npk
 
     A = int(batch.score_values.shape[-1])
-    if not scan_fits_stream(batch.qp, STREAM_SEG, outputs, A=A):
+    seg = stream_seg(outputs)
+    if not scan_fits_stream(batch.qp, seg, outputs, A=A):
         return False
     # The streamed input must fit the same HBM budget as the one-shot
     # route's gate.  G-select (the default) ships only the packed
@@ -613,7 +626,7 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
     # a per-segment (Bpad, Qp, STREAM_SEG) int8 substitution tensor.
     Bpad = (batch.size + 127) // 128 * 128
     in_bytes = (Bpad * batch.qp * _npk(A) * 4 if _gsel(A)
-                else Bpad * batch.qp * STREAM_SEG)
+                else Bpad * batch.qp * seg)
     if in_bytes > 2 << 30:
         return False
     if outputs == "trace":
@@ -673,21 +686,22 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
     rlen = padb(batch.rlen)
     Rp = ridx.shape[1]
 
-    nseg = (Rp + STREAM_SEG - 1) // STREAM_SEG
-    if Rp % STREAM_SEG:
+    seg = stream_seg(outputs)
+    nseg = (Rp + seg - 1) // seg
+    if Rp % seg:
         ridx = jnp.pad(jnp.asarray(ridx),
-                       ((0, 0), (0, nseg * STREAM_SEG - Rp)))
+                       ((0, 0), (0, nseg * seg - Rp)))
     state = None
     out = None
     trace_segs = []
     for si in range(nseg):
         out, state = scan_score_segment(
-            prof, ridx[:, si * STREAM_SEG:(si + 1) * STREAM_SEG],
+            prof, ridx[:, si * seg:(si + 1) * seg],
             qlen, rlen, state,
             qidx if outputs == "stats" else None,
             open_=np.int32(gap_open), ext=np.int32(gap_extend),
             mode=mode, free=free, width=width, outputs=outputs,
-            col_offset=np.int32(si * STREAM_SEG), resume=si > 0,
+            col_offset=np.int32(si * seg), resume=si > 0,
             interpret=jax.default_backend() != "tpu",
             gpack=gp, alphabet=A if gp is not None else None,
         )
