@@ -489,22 +489,37 @@ def seqpar_cigars(out, queries, references, mode,
 
     ``out`` is a ``seqpar_align(..., outputs="trace")`` result; the flag
     plane is gathered to the host (each process receives its addressable
-    shards) and walked per pair — the same affine walk the engine's
-    ``Alignment.get_cigar`` uses, so strings are bit-identical to the
-    single-chip path.
+    shards) and walked in ONE native batch (native/ptwalk.cc, the same
+    walk the engine's ``Aligner.cigars`` uses — golden fallback when no
+    compiler), so strings are bit-identical to the single-chip path.
     """
-    from ..golden.model import walk_trace
+    from ..constants import CIGAR_OPS
+    from ..golden.model import free_flags, walk_trace
+    from ..native import walker
 
     trace = np.asarray(out["trace_table"])
     eq = np.asarray(out["end_query"])
     er = np.asarray(out["end_ref"])
     scores = np.asarray(out["score"])
-    cigars = []
-    for b, (q, r) in enumerate(zip(queries, references)):
-        if mode == "sw" and scores[b] <= 0:
-            cigars.append("")
-            continue
+    live = [b for b in range(len(queries))
+            if mode != "sw" or scores[b] > 0]
+    ff = free if mode == "sg" else free_flags(mode)
+    qb, _, db, _ = ff
+    walked = walker.walk_batch(
+        [trace[b, :len(queries[b]), :len(references[b])] for b in live],
+        [queries[b] for b in live], [references[b] for b in live],
+        [int(eq[b]) for b in live], [int(er[b]) for b in live],
+        local=mode == "sw", qb=qb, db=db)
+    cigars = [""] * len(queries)
+    if walked is not None:
+        for k, b in enumerate(live):
+            packed, _bq, _br = walked[k]
+            cigars[b] = "".join(
+                f"{int(v) >> 4}{CIGAR_OPS[int(v) & 0xF]}" for v in packed)
+        return cigars
+    for b in live:
+        q, r = queries[b], references[b]
         walk = walk_trace(trace[b, :len(q), :len(r)], q, r,
                           int(eq[b]), int(er[b]), mode, free)
-        cigars.append(walk.cigar_string())
+        cigars[b] = walk.cigar_string()
     return cigars
