@@ -623,7 +623,7 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
     # route's gate.  G-select (the default) ships only the packed
     # letter-indexed profile (Bpad, npk, Qp, LANES) — segment-invariant
     # and 4*npk bytes per query cell; the legacy scol path materializes
-    # a per-segment (Bpad, Qp, STREAM_SEG) int8 substitution tensor.
+    # a per-segment (Bpad, Qp, seg) int8 substitution tensor.
     Bpad = (batch.size + 127) // 128 * 128
     in_bytes = (Bpad * batch.qp * _npk(A) * 4 if _gsel(A)
                 else Bpad * batch.qp * seg)

@@ -156,11 +156,18 @@ def _plan(Qp, Rp, outputs, npk=None, stream=False):
         budget = VMEM_BUDGET - fixed
         if budget < per_col:
             return None
-        Jt = max(1, min(COL_TILE, Rp, budget // per_col))
+        Jt = min(COL_TILE, Rp, budget // per_col)
         if Jt != Rp:
             # ridx/row blocks use Jt as their sublane dim: must divide
-            # by 8 (Mosaic tiling) unless it spans the whole array
-            Jt = min(Rp, max(8, Jt // 8 * 8))
+            # by 8 (Mosaic tiling) unless it spans the whole array.
+            # Round DOWN — rounding an unaffordable 1-7 up to 8 put the
+            # column double-buffers past Mosaic's scoped limit (observed:
+            # stats_table 1024x1024 compile OOM); a chunk size that
+            # cannot afford an 8-column tile is rejected so the planner
+            # falls through to a smaller Qc.
+            Jt = Jt // 8 * 8
+            if Jt < 8:
+                return None
         return Qc, nq, Jt, pl.cdiv(Rp, Jt)
 
     cands = []
