@@ -336,13 +336,18 @@ def _prefix_impl(a, masks, seed):
     """Pluggable scalar-prefix implementation (PT_PREFIX_IMPL env knob,
     perf experiments only — all three are bit-identical).  Default:
     flat Hillis-Steele, the fastest measured on v5e; the two-level
-    variant's relayouts cost more than its saved ops, cummax depends on
-    the Mosaic lowering."""
+    variant's relayouts cost more than its saved ops.  cummax HANGS the
+    Mosaic compiler on the TPU backend (measured: no compile in 240 s at
+    a trivial shape), so it is honored only off-TPU (interpret/CPU)."""
     import os
+
+    import jax
 
     name = os.environ.get("PT_PREFIX_IMPL", "flat")
     impl = _PREFIX_IMPLS.get(name, _prefix_max_exclusive)
     if impl is _prefix_max_exclusive2 and ("b", 1) not in masks:
+        impl = _prefix_max_exclusive
+    if impl is _prefix_cummax_exclusive and jax.default_backend() == "tpu":
         impl = _prefix_max_exclusive
     return impl(a, masks, seed)
 

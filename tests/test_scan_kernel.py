@@ -397,7 +397,7 @@ def test_engine_streamed_long_reference(monkeypatch):
           for _ in range(3)]
     aligner = Aligner.new().matrix(m).gap_open(4).gap_extend(1).local().build()
     batch, qlens, rlens = aligner._pack(qs, rs)
-    monkeypatch.setattr(disp, "STREAM_SEG", 128)
+    monkeypatch.setenv("PT_STREAM_SEG", "128")
     monkeypatch.setenv("PT_FORCE_PALLAS", "1")
     out = disp._execute_pallas_streamed(
         batch, gap_open=4, gap_extend=1, mode="sw", free=(True,) * 4,
@@ -457,7 +457,7 @@ def test_segment_streaming_trace_and_engine():
                .use_trace().build())
     batch, qlens, rlens = aligner._pack(qs, rs)
     import unittest.mock as mock
-    with mock.patch.object(disp, "STREAM_SEG", 128):
+    with mock.patch.dict(os.environ, {"PT_STREAM_SEG": "128"}):
         out = disp._execute_pallas_streamed(
             batch, gap_open=4, gap_extend=1, mode="sw", free=(True,) * 4,
             width="sat", outputs="trace")
@@ -484,7 +484,7 @@ def test_engine_streamed_stats():
     aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1).local()
                .use_stats().build())
     batch, qlens, rlens = aligner._pack(qs, rs)
-    with mock.patch.object(disp, "STREAM_SEG", 128):
+    with mock.patch.dict(os.environ, {"PT_STREAM_SEG": "128"}):
         out = disp._execute_pallas_streamed(
             batch, gap_open=4, gap_extend=1, mode="sw", free=(True,) * 4,
             width="sat", outputs="stats")
