@@ -95,6 +95,12 @@ def cigar_decode_one(value: int) -> tuple[int, str]:
     return value >> 4, CIGAR_OPS[value & 0xF]
 
 
+def cigar_runs_string(packed) -> str:
+    """Packed uint32 runs ((len<<4)|op, the parasail codec) -> CIGAR
+    string — the shared decode for every batched native walk."""
+    return "".join(f"{int(v) >> 4}{CIGAR_OPS[int(v) & 0xF]}" for v in packed)
+
+
 # ---------------------------------------------------------------------------
 # Public enums (reference: src/prelude.rs:9-25)
 # ---------------------------------------------------------------------------

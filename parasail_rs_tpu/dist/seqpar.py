@@ -493,7 +493,7 @@ def seqpar_cigars(out, queries, references, mode,
     walk the engine's ``Aligner.cigars`` uses — golden fallback when no
     compiler), so strings are bit-identical to the single-chip path.
     """
-    from ..constants import CIGAR_OPS
+    from ..constants import cigar_runs_string
     from ..golden.model import free_flags, walk_trace
     from ..native import walker
 
@@ -513,9 +513,7 @@ def seqpar_cigars(out, queries, references, mode,
     cigars = [""] * len(queries)
     if walked is not None:
         for k, b in enumerate(live):
-            packed, _bq, _br = walked[k]
-            cigars[b] = "".join(
-                f"{int(v) >> 4}{CIGAR_OPS[int(v) & 0xF]}" for v in packed)
+            cigars[b] = cigar_runs_string(walked[k][0])
         return cigars
     for b in live:
         q, r = queries[b], references[b]

@@ -58,9 +58,12 @@ I32 = jnp.int32
 
 def seqpar_scan_fits(q_chunk: int, Rp: int, n_devices: int,
                      outputs: str, A: int, Qp: int | None = None,
-                     batch: int = LANES) -> bool:
+                     batch: int = LANES, gap_open: int | None = None,
+                     gap_extend: int | None = None) -> bool:
     """Can the Pallas rowseg route serve this seqpar configuration?
 
+    Pass ``gap_open``/``gap_extend`` to also enforce the scan kernel's
+    exactness contract (gap_open >= gap_extend; strictly > for stats).
     For ``outputs="trace"`` pass ``Qp``/``batch`` too: every device
     accumulates its (batch, Qp, Rp/D) int8 flag shard in HBM during the
     pipeline, and the route declines when that exceeds 4 GB.
@@ -69,6 +72,11 @@ def seqpar_scan_fits(q_chunk: int, Rp: int, n_devices: int,
         return False
     if Rp % n_devices or q_chunk % 8:
         return False
+    if gap_open is not None and gap_extend is not None:
+        if gap_open < gap_extend:
+            return False
+        if outputs == "stats" and gap_open == gap_extend:
+            return False
     if outputs == "trace" and Qp is not None:
         Bp = (batch + LANES - 1) // LANES * LANES
         if Bp * Qp * (Rp // n_devices) > 4 << 30:
@@ -333,6 +341,9 @@ def seqpar_align_scan(
     fall back to the XLA implementation otherwise.
     """
     assert outputs in ("score", "stats", "trace"), outputs
+    if outputs == "stats" and qidx is None:
+        raise ValueError("outputs='stats' needs the mapped query indices "
+                         "(qidx) — matches are counted against them")
     profile = np.asarray(profile, np.int32)
     ridx = np.asarray(ridx, np.int32)
     qlen = np.asarray(qlen, np.int32)
@@ -340,10 +351,12 @@ def seqpar_align_scan(
     Bq, Qp, A = profile.shape
     B0, Rp = ridx.shape
     D = mesh.devices.size
-    if not seqpar_scan_fits(q_chunk, Rp, D, outputs, A, Qp=Qp, batch=B0):
+    if not seqpar_scan_fits(q_chunk, Rp, D, outputs, A, Qp=Qp, batch=B0,
+                            gap_open=int(open_), gap_extend=int(ext)):
         raise ValueError(
             f"seqpar scan route cannot serve (q_chunk={q_chunk}, Rp={Rp}, "
-            f"D={D}, {outputs}, A={A}); use dist.seqpar.seqpar_align")
+            f"D={D}, {outputs}, A={A}, gaps={int(open_)}/{int(ext)}); "
+            f"use dist.seqpar.seqpar_align")
     assert Qp % q_chunk == 0, "pad the query to a q_chunk multiple"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -401,7 +401,7 @@ class Aligner:
         batches.  Falls back to the per-pair path when the native walker
         is unavailable.
         """
-        from ..constants import CIGAR_OPS
+        from ..constants import cigar_runs_string
         from ..golden.model import free_flags
         from ..native import walker
 
@@ -422,9 +422,7 @@ class Aligner:
         if walked is None:
             return [a.get_cigar(q, r)
                     for a, q, r in zip(alignments, queries, references)]
-        return ["".join(f"{int(v) >> 4}{CIGAR_OPS[int(v) & 0xF]}"
-                        for v in packed)
-                for packed, _bq, _br in walked]
+        return [cigar_runs_string(packed) for packed, _bq, _br in walked]
 
     # -- banded global NW (src/aligner/mod.rs:457-489) -----------------------
     def banded_nw(self, query, reference) -> Alignment:
@@ -443,8 +441,6 @@ class Aligner:
         if self.bandwidth is None:
             raise NoBandwidth(
                 "banded_nw() requires .bandwidth() on the builder")
-        from ..ops.wavefront import wavefront_align
-
         batch, qlens, rlens = self._pack(queries, references)
         if dispatch._use_pallas(batch, "score", self.gap_open,
                                 self.gap_extend):
@@ -454,13 +450,14 @@ class Aligner:
                 banded=True, bandwidth=self.bandwidth,
             )
         else:
-            out = wavefront_align(
-                dispatch._device_profile(
-                    batch.profile, batch.table, batch.qidx),
-                batch.qidx, batch.ridx, batch.qlen, batch.rlen,
-                open_=np.int32(self.gap_open), ext=np.int32(self.gap_extend),
+            # _wavefront_exec, not the raw kernel: long banded pairs are
+            # the designated long-sequence API, and the wavefront's
+            # sequential scan beyond ~8k steps crashes the TPU worker
+            # (the valve runs those on the host CPU backend instead)
+            out = dispatch._wavefront_exec(
+                batch, gap_open=self.gap_open, gap_extend=self.gap_extend,
                 mode="nw", free=(False,) * 4, outputs="score", width="32",
-                banded=True, bandwidth=np.int32(self.bandwidth),
+                banded=True, bandwidth=self.bandwidth,
             )
         out = {k: np.asarray(v) for k, v in out.items()}
         results = []

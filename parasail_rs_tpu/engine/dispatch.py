@@ -152,16 +152,14 @@ def _pack_side(seqs, P):
     from ..native import packer
 
     packed = packer.pack_side(seqs, P, length_bucket)
-    if packed is None and (
-            type(seqs) is not list
-            or any(type(s) is not bytes for s in seqs)):
+    if packed is None:
+        # normalize once (str/bytearray/etc -> bytes) and retry the fast
+        # path; the normalized list also feeds the numpy fallback below
         seqs = [s.encode() if isinstance(s, str)
                 else (s if type(s) is bytes else bytes(s)) for s in seqs]
         packed = packer.pack_side(seqs, P, length_bucket)
     if packed is not None:
         return packed
-    seqs = [s.encode() if isinstance(s, str)
-            else (s if type(s) is bytes else bytes(s)) for s in seqs]
     B = len(seqs)
     joined = b"".join(seqs)
     if 0 in joined:

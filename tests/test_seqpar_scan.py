@@ -179,3 +179,21 @@ def test_seqpar_scan_fits_gates():
     # trace HBM gate: per-device flag shard beyond 4GB declines
     assert seqpar_scan_fits(256, 1 << 14, 8, "trace", 4, Qp=1 << 14)
     assert not seqpar_scan_fits(256, 1 << 20, 8, "trace", 4, Qp=1 << 19)
+    # gap exactness contract, when penalties are provided
+    assert not seqpar_scan_fits(256, 2048, 8, "score", 4,
+                                gap_open=1, gap_extend=2)
+    assert not seqpar_scan_fits(256, 2048, 8, "stats", 4,
+                                gap_open=2, gap_extend=2)
+    assert seqpar_scan_fits(256, 2048, 8, "score", 4,
+                            gap_open=2, gap_extend=2)
+
+
+def test_seqpar_scan_rejects_bad_configs():
+    m, pairs, prof, qidx, ridx, qlen, rlen = PROBLEM
+    with pytest.raises(ValueError):   # stats without qidx: silent-wrong bait
+        seqpar_align_scan(prof, ridx, qlen, rlen, open_=5, ext=1,
+                          mesh=MESH, mode="sw", q_chunk=64,
+                          outputs="stats")
+    with pytest.raises(ValueError):   # outside the gap contract
+        seqpar_align_scan(prof, ridx, qlen, rlen, open_=1, ext=2,
+                          mesh=MESH, mode="sw", q_chunk=64)

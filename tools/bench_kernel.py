@@ -14,33 +14,17 @@ land.
 import json
 import os
 import sys
-import threading
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import with_timeout  # noqa: E402
 
 OUT_PATH = "/tmp/pt_kernel_bench.jsonl"
 
 
-def with_timeout(fn, t):
-    box = {}
-
-    def work():
-        try:
-            box["out"] = fn()
-        except Exception as e:  # noqa: BLE001
-            box["err"] = e
-
-    th = threading.Thread(target=work, daemon=True)
-    th.start()
-    th.join(t)
-    if th.is_alive():
-        raise TimeoutError(f"no result in {t}s")
-    if "err" in box:
-        raise box["err"]
-    return box.get("out")
 
 
 def bench(outputs, B=8192, L=150, Qp=160, Rp=160, A=25):

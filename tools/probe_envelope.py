@@ -14,31 +14,15 @@ Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/probe_envelope.py
 
 import os
 import sys
-import threading
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import with_timeout  # noqa: E402
 
 
-def with_timeout(fn, t):
-    box = {}
-
-    def work():
-        try:
-            box["out"] = fn()
-        except Exception as e:  # noqa: BLE001
-            box["err"] = e
-
-    th = threading.Thread(target=work, daemon=True)
-    th.start()
-    th.join(t)
-    if th.is_alive():
-        raise TimeoutError(f"no result in {t}s")
-    if "err" in box:
-        raise box["err"]
-    return box.get("out")
 
 
 CASES = [
