@@ -345,6 +345,11 @@ def seqpar_align_scan(
         raise ValueError("outputs='stats' needs the mapped query indices "
                          "(qidx) — matches are counted against them")
     profile = np.asarray(profile, np.int32)
+    if profile.min() < -128 or profile.max() > 127:
+        # the packed G-select profile stores int8 scores; clipping would
+        # silently change results — such matrices take the XLA route
+        raise ValueError("substitution scores exceed int8; "
+                         "use dist.seqpar.seqpar_align")
     ridx = np.asarray(ridx, np.int32)
     qlen = np.asarray(qlen, np.int32)
     rlen = np.asarray(rlen, np.int32)
