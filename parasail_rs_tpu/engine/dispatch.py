@@ -705,7 +705,10 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
         )
         if outputs == "trace":
             trace_segs.append(np.asarray(out.pop("trace_table_seg"))[:B])
-    res = {k: np.asarray(v)[:B] for k, v in out.items()}
+    # keep scalar outputs as device arrays: every segment is already
+    # enqueued, so an execute(fetch=False) caller (align_many bin
+    # pipelining, StreamingAligner) can defer the blocking fetch
+    res = {k: v[:B] for k, v in out.items()}
     if outputs == "trace":
         Rp_true = batch.rp
         res["trace_table"] = np.concatenate(
