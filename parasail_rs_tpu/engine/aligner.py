@@ -378,16 +378,20 @@ class Aligner:
                          lane_quantum=1 if cell_sized else 128)
         results: list[Alignment | None] = [None] * len(refs)
         # dispatch every bin before fetching any: device compute of bin k
-        # overlaps host packing of bin k+1 and the fetches at the end
+        # overlaps host packing of bin k+1 and the fetches at the end.
+        # Cell-sized outputs fetch per bin instead — every outstanding
+        # bin keeps a (B, Qp, Rp)-sized plane live on HBM, and N bins
+        # near the per-batch gate would otherwise accumulate N of them.
         pending = []
         for bin_ in bins:
             idx = bin_.indices
             batch, bql, brl = self._pack(
                 qsel(idx), [refs[i] for i in idx], Qp=bin_.qp, Rp=bin_.rp)
-            pending.append((idx, self._execute(batch, fetch=False),
+            pending.append((idx, self._execute(batch, fetch=cell_sized),
                             bql, brl))
         for idx, pend, bql, brl in pending:
-            sub = self._alignments_from(pend.fetch(), bql, brl)
+            out = pend if cell_sized else pend.fetch()
+            sub = self._alignments_from(out, bql, brl)
             for i, aln in zip(idx, sub):
                 results[i] = aln
         return results

@@ -97,8 +97,12 @@ def register_ncbi_dir(path: str | os.PathLike) -> list[str]:
     path = os.fspath(path)
     found: list[str] = []
     for fname in sorted(os.listdir(path)):
-        stem = fname.split(".")[0]
-        m = _NAME_RE.match(stem.lower())
+        # Only the CANONICAL files register.  The stock NCBI ftp layout
+        # also ships scaled variants under dotted suffixes (BLOSUM62.50
+        # is the half-bit-unit rescale) — matching on the stem alone
+        # would let BLOSUM62.50 silently overwrite BLOSUM62 while
+        # reporting approximate=False.
+        m = _NAME_RE.match(fname.lower())
         if m is None:
             continue
         name = m.group(1) + m.group(2)

@@ -12,6 +12,7 @@ generic numpy path for those.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -24,7 +25,19 @@ from ..errors import InteriorNulByte
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ptpack.cc")
-_LIB_NAME = f"libptpack-{sys.implementation.cache_tag}.so"
+
+def _src_tag() -> str:
+    # cache key includes the source hash: a stale .so from an older
+    # source must never be dlopened after an upgrade
+    try:
+        with open(_SRC, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()[:10]
+    except OSError:
+        return "nosrc"
+
+
+_LIB_NAME = (f"libptpack-{sys.implementation.cache_tag}-"
+             f"{_src_tag()}.so")
 
 _lock = threading.Lock()
 _lib = None

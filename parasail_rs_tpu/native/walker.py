@@ -10,6 +10,7 @@ load failure — call :func:`available` to check which path is active.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -21,7 +22,19 @@ from ..constants import CIGAR_OPS
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ptwalk.cc")
-_LIB_NAME = f"libptwalk-{sys.implementation.cache_tag}.so"
+
+def _src_tag() -> str:
+    # cache key includes the source hash: a stale .so from an older
+    # source must never be dlopened after an upgrade
+    try:
+        with open(_SRC, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()[:10]
+    except OSError:
+        return "nosrc"
+
+
+_LIB_NAME = (f"libptwalk-{sys.implementation.cache_tag}-"
+             f"{_src_tag()}.so")
 
 _lock = threading.Lock()
 _lib = None

@@ -150,3 +150,19 @@ def test_aligner_route_counter_and_log(caplog):
     assert "gap_open < gap_extend" in reason
     assert sum(ROUTE_COUNTS.values()) == before + 1
     assert any("routed to" in r.message for r in caplog.records)
+
+
+def test_register_ncbi_dir_ignores_scaled_variants(tmp_path, clean_registry):
+    """The stock NCBI ftp layout ships rescaled variants under dotted
+    suffixes (BLOSUM62.50 = half-bit units); only the canonical file may
+    register — a variant must never overwrite it under the exact flag."""
+    base = Matrix.from_name("blosum62").data
+    scaled = base * 2
+    (tmp_path / "BLOSUM62").write_text(_ncbi_file_text(base))
+    (tmp_path / "BLOSUM62.50").write_text(_ncbi_file_text(scaled))
+    (tmp_path / "BLOSUM50.txt").write_text(_ncbi_file_text(base))
+    found = register_ncbi_dir(tmp_path)
+    assert found == ["blosum62"]
+    m = Matrix.from_name("blosum62")
+    assert not m.approximate
+    np.testing.assert_array_equal(m.data, base)
