@@ -86,11 +86,30 @@ def _prefix_argmax_exclusive(a, payloads, ii, seed, seed_payloads):
     return x, ps
 
 
+def seqpar_align(*args, **kw):
+    """Public entry: validates the gap contract eagerly (the jitted body
+    sees traced penalties), then dispatches :func:`_seqpar_align_jit`.
+    See its docstring for the full contract."""
+    open_ = kw.get("open_", None)
+    ext = kw.get("ext", None)
+    outputs = kw.get("outputs", "score")
+    if open_ is not None and ext is not None:
+        if int(open_) < int(ext) or (outputs == "stats"
+                                     and int(open_) == int(ext)):
+            # the vertical-gap prefix scan shares the scan kernel's
+            # exactness contract; silently wrong results are worse than
+            # an error (single-chip configs route to the wavefront)
+            raise ValueError(
+                f"sequence-parallel fill requires gap_open >= gap_extend "
+                f"(strictly > for stats); got {int(open_)}/{int(ext)}")
+    return _seqpar_align_jit(*args, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "mode", "free", "q_chunk", "outputs"),
 )
-def seqpar_align(
+def _seqpar_align_jit(
     profile,      # (Qp, A, B) int32 — query profile rows, replicated
     ridx,         # (Rp, B) int32 — reference indices, sharded over "seq"
     qlen,         # (B,) int32

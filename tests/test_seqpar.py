@@ -136,3 +136,16 @@ def test_seqpar_stats_vs_golden(mode, free):
         assert int(out["matches"][b]) == g.matches, (mode, free, b)
         assert int(out["similar"][b]) == g.similar, (mode, free, b)
         assert int(out["length"][b]) == g.length, (mode, free, b)
+
+
+def test_seqpar_rejects_gap_contract_violations():
+    import pytest
+
+    m, pairs, prof, ridx, qlen, rlen = PROBLEM
+    with pytest.raises(ValueError):
+        seqpar_align(prof, ridx, qlen, rlen, open_=1, ext=2, mesh=MESH,
+                     mode="sw", q_chunk=32)
+    qidx = np.zeros((prof.shape[0], prof.shape[2]), np.int32)
+    with pytest.raises(ValueError):
+        seqpar_align(prof, ridx, qlen, rlen, qidx, open_=2, ext=2,
+                     mesh=MESH, mode="sw", q_chunk=32, outputs="stats")
