@@ -99,6 +99,9 @@ def _write_json(path, obj):
     os.replace(tmp, path)
 
 
+HISTORY = os.path.join(tempfile.gettempdir(), "pt_bench_history.jsonl")
+
+
 def _emit(res):
     """Print the single driver-parsed JSON line from a partial-result dict."""
     B, L = res["B"], res["L"]
@@ -127,7 +130,37 @@ def _emit(res):
         "stats_aln_per_sec": res.get("stats_aln_per_sec"),
         "e2e": res.get("e2e", {}),
     }
+    if res["backend"] == "tpu":
+        try:
+            with open(HISTORY, "a") as f:
+                f.write(json.dumps({"ts": time.time(),
+                                    "aln_per_sec": out["value"],
+                                    "gcups": out["gcups"]}) + "\n")
+        except OSError:
+            pass
+    else:
+        # CPU fallback (dev-tunnel outage): point at the most recent
+        # REAL TPU measurement this machine recorded, clearly labeled —
+        # the headline value stays the honest CPU number.
+        prior = _last_tpu_record()
+        if prior:
+            out["prior_tpu_aln_per_sec"] = prior["aln_per_sec"]
+            out["prior_tpu_age_hours"] = round(
+                (time.time() - prior["ts"]) / 3600, 1)
+            print(f"[bench] NOTE: last successful TPU bench on this "
+                  f"machine: {prior['aln_per_sec']} aln/s "
+                  f"({out['prior_tpu_age_hours']}h ago); this run's "
+                  f"value is the CPU fallback", file=sys.stderr)
     print(json.dumps(out))
+
+
+def _last_tpu_record():
+    try:
+        with open(HISTORY) as f:
+            lines = [json.loads(l) for l in f if l.strip()]
+        return lines[-1] if lines else None
+    except (OSError, ValueError):
+        return None
 
 
 def _with_timeout(fn, timeout):
