@@ -585,3 +585,15 @@ def test_build_gpack_from_table_matches_profile_pack():
                                              jnp.asarray(qidx[:1])))
     want1 = np.asarray(build_gpack(jnp.asarray(rows[:1])))
     np.testing.assert_array_equal(got1, want1)
+
+
+def test_stream_seg_per_output_class(monkeypatch):
+    from parasail_rs_tpu.engine import dispatch as disp
+
+    monkeypatch.delenv("PT_STREAM_SEG", raising=False)
+    assert disp.stream_seg("score") == 8192
+    assert disp.stream_seg("stats") == disp.STREAM_SEG
+    assert disp.stream_seg("trace") == disp.STREAM_SEG
+    monkeypatch.setenv("PT_STREAM_SEG", "512")
+    assert disp.stream_seg("score") == 512
+    assert disp.stream_seg("stats") == 512
