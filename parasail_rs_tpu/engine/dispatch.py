@@ -415,6 +415,19 @@ def plan_route(batch: PairBatch, outputs: str, gap_open: int,
     return "wavefront", reason
 
 
+def scan_scalar_names(width: str, stats: bool) -> tuple[str, ...]:
+    """The per-pair scalar output names of ``scan_score_align``, sorted —
+    computed statically from the dispatch key so no trace-time
+    side-channel is needed (the packed-scalar layout is part of the
+    jitted function's contract)."""
+    names = {"saturated", "score", "end_query", "end_ref"}
+    if width == "sat":
+        names.add("promoted")
+    if stats:
+        names.update({"matches", "similar", "length"})
+    return tuple(sorted(names))
+
+
 _SCAN_JIT_CACHE: dict = {}
 
 
@@ -436,6 +449,8 @@ def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
 
     from ..ops.scan_kernel import (_gsel, build_gpack_from_table,
                                    scan_score_align)
+
+    names = scan_scalar_names(width, stats)
 
     def fn(prof_or_table, qarg, rarg, mapper, qlen, rlen, open_, ext,
            bandwidth):
@@ -480,15 +495,15 @@ def _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats, mode, free,
             gpack=gp, alphabet=alphabet)
         scalars = {k: v for k, v in out.items() if v.ndim == 1}
         big = {k: v for k, v in out.items() if v.ndim > 1}
-        names = tuple(sorted(scalars))
-        meta["names"] = names  # structure is static per key; set at trace
+        assert tuple(sorted(scalars)) == names, (
+            "scan kernel scalar outputs drifted from scan_scalar_names(): "
+            f"{tuple(sorted(scalars))} != {names}")
         packed = jnp.stack([scalars[k].astype(jnp.int32) for k in names])
         return packed, big
 
-    meta: dict = {"names": None}
     jitted = jax.jit(fn)
-    _SCAN_JIT_CACHE[key] = (jitted, meta)
-    return jitted, meta
+    _SCAN_JIT_CACHE[key] = (jitted, names)
+    return jitted, names
 
 
 class PendingResult:
@@ -552,17 +567,16 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
     rarg = padb(batch.rbytes if rbytes_path else batch.ridx)
     mapper = (batch.mapper if (qbytes_path or rbytes_path)
               else np.zeros(256, np.int32))
-    fn, meta = _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats,
-                             mode, free, width, outputs, banded,
-                             jax.default_backend() != "tpu",
-                             hmax_bound=_hmax_bound(batch, gap_open,
-                                                    gap_extend))
+    fn, names = _scan_exec_fn(table_path, qbytes_path, rbytes_path, stats,
+                              mode, free, width, outputs, banded,
+                              jax.default_backend() != "tpu",
+                              hmax_bound=_hmax_bound(batch, gap_open,
+                                                     gap_extend))
     packed, big = fn(
         batch.table if table_path else
         (batch.profile if shared else padb(batch.profile)),
         qarg, rarg, mapper, padb(batch.qlen), padb(batch.rlen),
         np.int32(gap_open), np.int32(gap_extend), np.int32(bandwidth or 0))
-    names = meta["names"]
     if not fetch:
         return PendingResult(packed_form=(names, packed, big, B))
     return _unpack_scalars(names, np.asarray(packed), big, B)

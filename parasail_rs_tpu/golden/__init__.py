@@ -1,6 +1,7 @@
 """Pure-NumPy golden oracle for the DP semantics."""
 
-from .model import GoldenResult, Walk, align, align_seqs, aligned_strings, free_flags, walk_trace
+from .model import (GoldenResult, Walk, align, align_seqs,
+                    aligned_strings, banded_nw_fill, free_flags, walk_trace)
 
 __all__ = [
     "GoldenResult",
@@ -8,6 +9,7 @@ __all__ = [
     "align",
     "align_seqs",
     "aligned_strings",
+    "banded_nw_fill",
     "free_flags",
     "walk_trace",
 ]

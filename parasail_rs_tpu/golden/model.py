@@ -395,3 +395,32 @@ def aligned_strings(
                 comp.append(" ")
                 ri += 1
     return "".join(qrow), "".join(comp), "".join(rrow)
+
+
+def banded_nw_fill(sub: np.ndarray, open_: int, ext: int, bw: int) -> int:
+    """Scalar banded NW fill oracle, row-at-a-time over the band.
+
+    The reference's parasail_nw_banded is likewise a non-vectorized scalar
+    kernel (doc: src/aligner/mod.rs:454-456); here each DP row updates as
+    a numpy slice with out-of-band cells pinned at -inf.  Oracle only —
+    the production banded route is the Pallas/XLA kernels' banded mode.
+    """
+    qlen, rlen = sub.shape
+    NEG = -(10 ** 9)
+    Hprev = np.full(rlen + 1, NEG, dtype=np.int64)
+    Eprev = np.full(rlen + 1, NEG, dtype=np.int64)
+    Hprev[0] = 0
+    for j in range(1, rlen + 1):
+        Hprev[j] = -(open_ + (j - 1) * ext) if abs(j) <= bw else NEG
+    for i in range(1, qlen + 1):
+        H = np.full(rlen + 1, NEG, dtype=np.int64)
+        E = np.full(rlen + 1, NEG, dtype=np.int64)
+        H[0] = -(open_ + (i - 1) * ext) if i <= bw else NEG
+        lo, hi = max(1, i - bw), min(rlen, i + bw)
+        F = NEG
+        for j in range(lo, hi + 1):
+            E[j] = max(Hprev[j] - open_, Eprev[j] - ext)
+            F = max(H[j - 1] - open_, F - ext)
+            H[j] = max(Hprev[j - 1] + int(sub[i - 1, j - 1]), E[j], F)
+        Hprev, Eprev = H, E
+    return int(Hprev[rlen])

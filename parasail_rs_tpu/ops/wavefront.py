@@ -23,7 +23,7 @@ with the engine re-running saturated pairs wider — the TPU replacement
 for parasail's 8->16 retry ladder (src/aligner/mod.rs:125-126).
 
 This module is the correctness-first XLA path used for every output class;
-`pallas_kernels.py` provides the speed-of-light score/trace paths and is
+`scan_kernel.py` provides the speed-of-light Pallas paths and is
 verified against this (which is itself verified against the golden model).
 """
 

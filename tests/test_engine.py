@@ -424,7 +424,7 @@ def test_semi_global_gap_variants_engine():
 
 def test_banded_nw_batch_and_scalar_oracle():
     # the kernel banded path must match the scalar banded fill
-    from parasail_rs_tpu.engine.aligner import _banded_nw_fill
+    from parasail_rs_tpu.golden import banded_nw_fill
 
     rng = np.random.default_rng(21)
     m = Matrix.create(b"ACGT", 2, -3)
@@ -440,7 +440,7 @@ def test_banded_nw_batch_and_scalar_oracle():
         batch = aligner.banded_nw_batch(qs, rs)
         for q, r, res in zip(qs, rs, batch):
             sub = m.scores_for(m.encode(q), m.encode(r)).astype(np.int64)
-            want = _banded_nw_fill(sub, 4, 1, bw)
+            want = banded_nw_fill(sub, 4, 1, bw)
             got = res.get_score()
             if want < -(10 ** 8):
                 # corner outside the band: unreachable in both (the
