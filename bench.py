@@ -7,15 +7,22 @@ hot loop — the Pallas prefix-scan kernel on TPU (XLA wavefront path on
 other backends) over an 8192-pair batch; inputs live on device as they
 would in a streaming pipeline (host staging overlaps compute there).
 
-Robustness: the dev-tunnel TPU occasionally wedges mid-run (ops hang for
-minutes, then FailedPrecondition — see ROADMAP).  Both round-1 hangs
-happened AFTER a successful compile+first batch, so the harness now
-times many short chained windows, each under its own watchdog thread,
-and persists partial results to a scratch file after every window.  The
-parent process kills a hung child, keeps whatever windows completed,
-retries once after a cool-down, and only then falls back to CPU.
+Robustness contract (the dev-tunnel TPU wedges unpredictably — ops hang
+for minutes, then FailedPrecondition; see ROADMAP):
 
-Prints ONE JSON line:
+  1. The FIRST action after compile is the smallest timed window, and a
+     complete result JSON line is PRINTED and appended to the committed
+     BENCH_HISTORY.jsonl immediately after it succeeds — before the
+     larger windows, the fused chains, the stats kernel, and the e2e
+     sweep, so no later hang or watchdog kill can erase a TPU success.
+  2. Improved headline lines are re-printed as better windows land (the
+     last line printed is always the most complete result).
+  3. The whole run fits one driver watchdog window: the parent gives the
+     TPU child TPU_BUDGET seconds and the CPU fallback the remainder of
+     TOTAL_BUDGET; the child also watches its own deadline and exits
+     cleanly (final emit) rather than being killed mid-section.
+
+Prints ONE JSON line per emission (the final/last one is authoritative):
   {"metric": ..., "value": N, "unit": "alignments/sec/chip", "vs_baseline": N}
 vs_baseline is value / 1e6 (the BASELINE.json target of 10^6 aln/s/chip).
 """
@@ -29,13 +36,18 @@ import time
 
 import numpy as np
 
-CHILD_TIMEOUT = 420          # parent's patience per TPU attempt (s)
-WEDGE_COOLDOWN = 240         # s to wait for the tunnel claim to reset
-WINDOW_TIMEOUT = 90          # per-window watchdog (s)
-WINDOWS = (1, 2, 4, 8, 16, 32, 32, 32)   # chained-kernel calls per window
+REPO = os.path.dirname(os.path.abspath(__file__))
+HISTORY = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+
+TOTAL_BUDGET = 400           # whole bench.py wall-clock budget (s)
+TPU_BUDGET = 320             # parent's patience for the TPU child (s)
+COMPILE_TIMEOUT = 200        # compile + first batch (s)
+WINDOW_TIMEOUT = 60          # per-window watchdog (s)
+WINDOWS = (2, 4, 8, 16, 32)  # eager chained-kernel calls per window
 
 
 def main():
+    t0 = time.time()
     if os.environ.get("PT_BENCH_CPU") == "1":
         _run_cpu()
         return
@@ -47,38 +59,25 @@ def main():
     except OSError:
         pass
 
-    best = None
-    for attempt in (1, 2):
-        proc = mp.Process(target=_run_tpu, args=(scratch,))
-        proc.start()
-        proc.join(timeout=CHILD_TIMEOUT)
+    deadline = t0 + TOTAL_BUDGET
+    os.environ["PT_BENCH_DEADLINE"] = str(deadline)
+    proc = mp.Process(target=_run_tpu, args=(scratch,))
+    proc.start()
+    proc.join(timeout=min(TPU_BUDGET, deadline - time.time()))
+    if proc.is_alive():
+        proc.terminate()
+        proc.join(5)
         if proc.is_alive():
-            proc.terminate()
-            proc.join(5)
-            if proc.is_alive():
-                proc.kill()
-                proc.join()
-            print(f"[bench] attempt {attempt}: child hit the {CHILD_TIMEOUT}s "
-                  "parent watchdog", file=sys.stderr)
-        partial = _read_json(scratch)
-        if partial:
-            partial["attempts"] = attempt
-            if best is None or len(partial.get("windows", [])) > len(
-                    best.get("windows", [])):
-                best = partial
-        if best and best.get("windows"):
-            break  # we have at least one timed TPU window — good enough
-        if partial and partial.get("backend") not in (None, "tpu"):
-            break  # no TPU in this environment; go straight to CPU
-        if attempt == 1:
-            print(f"[bench] no TPU window yet; cooling down {WEDGE_COOLDOWN}s "
-                  "before retry", file=sys.stderr)
-            time.sleep(WEDGE_COOLDOWN)
-
-    if best and best.get("windows"):
-        _emit(best)
+            proc.kill()
+            proc.join()
+        print(f"[bench] TPU child hit the parent watchdog", file=sys.stderr)
+    partial = _read_json(scratch)
+    if partial and partial.get("emitted"):
+        return  # the child already printed >=1 complete TPU result line
+    if partial and partial.get("windows"):
+        _emit(partial)  # windows recorded but print was cut off — recover
         return
-    print("[bench] TPU attempts exhausted; falling back to CPU backend",
+    print("[bench] no TPU window captured; falling back to CPU backend",
           file=sys.stderr)
     os.environ["PT_BENCH_CPU"] = "1"
     os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
@@ -99,11 +98,18 @@ def _write_json(path, obj):
     os.replace(tmp, path)
 
 
-HISTORY = os.path.join(tempfile.gettempdir(), "pt_bench_history.jsonl")
+def _deadline():
+    try:
+        return float(os.environ["PT_BENCH_DEADLINE"])
+    except (KeyError, ValueError):
+        return time.time() + TOTAL_BUDGET
 
 
-def _emit(res):
-    """Print the single driver-parsed JSON line from a partial-result dict."""
+def _emit(res, scratch=None):
+    """Print one complete driver-parseable JSON line from the current
+    result state, and (TPU) record it in the committed history file.
+    Called repeatedly as results improve; the last line printed is the
+    most complete one."""
     B, L = res["B"], res["L"]
     # Every overhead source (tunnel RTT, relay stalls) only ever inflates a
     # window's wall time, so the per-call floor across windows is the least
@@ -122,7 +128,6 @@ def _emit(res):
         "unit": "alignments/sec/chip",
         "vs_baseline": round(aps / 1e6, 3),
         "backend": res["backend"],
-        "attempts": res.get("attempts", 1),
         "windows": len(per_call),
         "median_aln_per_sec": round(B / med_dt),
         "gcups": round(B * L * L / best_dt / 1e9, 1),
@@ -131,16 +136,10 @@ def _emit(res):
         "e2e": res.get("e2e", {}),
     }
     if res["backend"] == "tpu":
-        try:
-            with open(HISTORY, "a") as f:
-                f.write(json.dumps({"ts": time.time(),
-                                    "aln_per_sec": out["value"],
-                                    "gcups": out["gcups"]}) + "\n")
-        except OSError:
-            pass
+        _record_history(res, out)
     else:
         # CPU fallback (dev-tunnel outage): point at the most recent
-        # REAL TPU measurement this machine recorded, clearly labeled —
+        # REAL TPU measurement in the committed history, clearly labeled —
         # the headline value stays the honest CPU number.
         prior = _last_tpu_record()
         if prior:
@@ -151,13 +150,45 @@ def _emit(res):
                   f"machine: {prior['aln_per_sec']} aln/s "
                   f"({out['prior_tpu_age_hours']}h ago); this run's "
                   f"value is the CPU fallback", file=sys.stderr)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    res["emitted"] = res.get("emitted", 0) + 1
+    if scratch:
+        _write_json(scratch, res)
+
+
+def _record_history(res, out):
+    """Append this run's record to BENCH_HISTORY.jsonl (committed), or
+    rewrite the line a previous _emit of the SAME run appended."""
+    rec = {"ts": time.time(), "run": res["run"],
+           "aln_per_sec": out["value"], "gcups": out["gcups"],
+           "windows": out["windows"],
+           "stats_aln_per_sec": out.get("stats_aln_per_sec"),
+           "e2e": out.get("e2e") or None}
+    try:
+        lines = []
+        if os.path.exists(HISTORY):
+            with open(HISTORY) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        if lines:
+            try:
+                last = json.loads(lines[-1])
+                if last.get("run") == res["run"]:
+                    lines.pop()
+            except ValueError:
+                pass
+        lines.append(json.dumps(rec))
+        tmp = HISTORY + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, HISTORY)
+    except OSError as e:
+        print(f"[bench] history write failed: {e}", file=sys.stderr)
 
 
 def _last_tpu_record():
     try:
         with open(HISTORY) as f:
-            lines = [json.loads(l) for l in f if l.strip()]
+            lines = [json.loads(ln) for ln in f if ln.strip()]
         return lines[-1] if lines else None
     except (OSError, ValueError):
         return None
@@ -190,10 +221,25 @@ def _with_timeout(fn, timeout):
 
 
 def _run_tpu(scratch):
+    deadline = _deadline()
     import jax
 
-    backend = jax.default_backend()
-    res = {"backend": backend, "windows": []}
+    try:  # persistent compiled-executable cache (harmless if unsupported)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(tempfile.gettempdir(),
+                                       "pt_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    try:  # backend init on a wedged tunnel can hang for many minutes
+        backend = _with_timeout(jax.default_backend, 150)
+    except Exception as e:
+        print(f"[bench] backend init failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        os._exit(5)
+    res = {"backend": backend, "windows": [],
+           "run": f"{int(time.time())}-{os.getpid()}"}
     _write_json(scratch, res)
     if backend != "tpu":
         os._exit(3)
@@ -220,7 +266,8 @@ def _run_tpu(scratch):
 
     t0 = time.time()
     try:
-        _with_timeout(lambda: jax.block_until_ready(run(qlen)), 180)
+        _with_timeout(lambda: jax.block_until_ready(run(qlen)),
+                      min(COMPILE_TIMEOUT, max(10, deadline - time.time())))
     except Exception as e:
         print(f"[bench] compile+first failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -230,7 +277,9 @@ def _run_tpu(scratch):
     print(f"[bench] backend={backend} B={B} "
           f"compile+first={res['compile_first_s']}s", file=sys.stderr)
 
-    for iters in WINDOWS:
+    for n, iters in enumerate(WINDOWS):
+        if time.time() > deadline - 15:
+            break
         def window(iters=iters):
             ql = qlen
             t0 = time.time()
@@ -247,12 +296,17 @@ def _run_tpu(scratch):
                   file=sys.stderr)
             # the first sustained burst after process start often wedges
             # for minutes then recovers; a truly dead runtime is bounded
-            # by the parent's CHILD_TIMEOUT watchdog either way
+            # by the parent's watchdog either way
             continue
         res["windows"].append({"iters": iters, "dt": dt})
-        _write_json(scratch, res)
         print(f"[bench] window iters={iters}: {dt/iters*1e3:.2f} ms/call",
               file=sys.stderr)
+        if n == 0 or not res.get("emitted"):
+            # FIRST success: emit a complete result line NOW — a later
+            # hang can no longer erase this TPU measurement.
+            _emit(res, scratch)
+        else:
+            _write_json(scratch, res)
         time.sleep(0.05)
 
     # Fused chain: NCH kernel calls inside ONE jit — a single dispatch,
@@ -269,31 +323,39 @@ def _run_tpu(scratch):
             ql = ql + (out["score"] & 0)
         return out["score"]
 
-    try:
-        _with_timeout(lambda: jax.block_until_ready(chained(qlen)), 180)
-        for _ in range(3):
-            def fwin():
-                t0 = time.time()
-                float(np.asarray(chained(qlen)).sum())
-                return time.time() - t0
-            dt = _with_timeout(fwin, WINDOW_TIMEOUT)
-            res["windows"].append({"iters": NCH, "dt": dt, "fused": True})
-            _write_json(scratch, res)
-            print(f"[bench] fused x{NCH}: {dt/NCH*1e3:.2f} ms/call",
-                  file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] fused windows unavailable: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    if time.time() < deadline - 60:
+        try:
+            _with_timeout(lambda: jax.block_until_ready(chained(qlen)), 120)
+            for _ in range(3):
+                def fwin():
+                    t0 = time.time()
+                    float(np.asarray(chained(qlen)).sum())
+                    return time.time() - t0
+                dt = _with_timeout(fwin, WINDOW_TIMEOUT)
+                res["windows"].append({"iters": NCH, "dt": dt, "fused": True})
+                _write_json(scratch, res)
+                print(f"[bench] fused x{NCH}: {dt/NCH*1e3:.2f} ms/call",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] fused windows unavailable: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+        if res["windows"]:
+            _emit(res, scratch)  # refresh the headline with the fused floor
 
-    if res["windows"]:
-        _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B)
+    if res["windows"] and time.time() < deadline - 45:
+        _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B,
+                              deadline)
+    if res["windows"] and time.time() < deadline - 30:
         res["e2e"] = {}
         _secondary_configs(True, res["e2e"],
-                           lambda: _write_json(scratch, res))
+                           lambda: _write_json(scratch, res), deadline)
+    if res["windows"]:
+        _emit(res, scratch)  # final, complete line
     os._exit(0)
 
 
-def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B):
+def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B,
+                          deadline):
     """Chained-dependency timing of the stats kernel (matches/similar/
     length accumulators) — the second headline of the kernel family."""
     import jax
@@ -313,9 +375,11 @@ def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B):
             interpret=False, hmax_bound=8192)
 
     try:
-        _with_timeout(lambda: jax.block_until_ready(run(qlen)["score"]), 180)
+        _with_timeout(lambda: jax.block_until_ready(run(qlen)["score"]), 120)
         per_call = []
         for iters in (4, 8):
+            if time.time() > deadline - 30:
+                break
             def window(iters=iters):
                 ql = qlen
                 t0 = time.time()
@@ -328,37 +392,16 @@ def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B):
             per_call.append(dt / iters)
             print(f"[bench] stats window iters={iters}: "
                   f"{dt/iters*1e3:.2f} ms/call", file=sys.stderr)
-        res["stats_aln_per_sec"] = round(B / min(per_call))
-        _write_json(scratch, res)
-
-        NCH = 8
-
-        @jax.jit
-        def chained(ql):
-            out = None
-            for _ in range(NCH):
-                out = run(ql)
-                ql = ql + (out["score"] & 0)
-            return out["score"]
-
-        _with_timeout(lambda: jax.block_until_ready(chained(qlen)), 180)
-        for _ in range(2):
-            def fwin():
-                t0 = time.time()
-                float(np.asarray(chained(qlen)).sum())
-                return time.time() - t0
-            dt = _with_timeout(fwin, WINDOW_TIMEOUT)
-            per_call.append(dt / NCH)
-            print(f"[bench] stats fused x{NCH}: {dt/NCH*1e3:.2f} ms/call",
-                  file=sys.stderr)
-        res["stats_aln_per_sec"] = round(B / min(per_call))
-        _write_json(scratch, res)
+        if per_call:
+            res["stats_aln_per_sec"] = round(B / min(per_call))
+            _write_json(scratch, res)
     except Exception as e:  # stats headline is best-effort
         print(f"[bench] stats windows failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
 
 def _run_cpu():
+    deadline = _deadline()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -383,7 +426,8 @@ def _run_cpu():
             mode="sw", free=(True,) * 4, outputs="score", width="sat")
 
     jax.block_until_ready(run(qlen))
-    res = {"backend": backend, "B": B, "L": L, "windows": []}
+    res = {"backend": backend, "B": B, "L": L, "windows": [],
+           "run": f"{int(time.time())}-{os.getpid()}"}
     for iters in (4, 4, 4):
         ql = qlen
         t0 = time.time()
@@ -392,8 +436,12 @@ def _run_cpu():
             ql = qlen + (out["score"] & 0)
         float(np.asarray(out["score"]).sum())
         res["windows"].append({"iters": iters, "dt": time.time() - t0})
-    res["e2e"] = {}
-    _secondary_configs(False, res["e2e"], lambda: None)
+    if time.time() < deadline - 30 or os.environ.get("PT_BENCH_CPU_FULL"):
+        res["e2e"] = {}
+        _secondary_configs(False, res["e2e"], lambda: None, deadline)
+    else:
+        print("[bench] deadline near; skipping the CPU e2e sweep",
+              file=sys.stderr)
     _emit(res)
 
 
@@ -406,10 +454,11 @@ def _timeit(fn, reps=3):
     return float(np.median(times))
 
 
-def _secondary_configs(on_tpu, out, checkpoint):
-    """BASELINE.json configs 1-5, engine end-to-end (encode -> dispatch ->
-    fetch).  Results land in the final JSON's "e2e" dict; each config runs
-    under its own watchdog on TPU and a failure stops the sweep (a wedged
+def _secondary_configs(on_tpu, out, checkpoint, deadline):
+    """BASELINE.json configs 1-6 plus the streaming-overlap e2e (cfg7),
+    engine end-to-end (pack -> dispatch -> fetch -> Alignment objects).
+    Results land in the final JSON's "e2e" dict; each config runs under
+    its own watchdog on TPU and a failure stops the sweep (a wedged
     runtime won't recover mid-process)."""
     from parasail_rs_tpu.engine import Aligner, Profile
     from parasail_rs_tpu.matrices import Matrix
@@ -422,7 +471,10 @@ def _secondary_configs(on_tpu, out, checkpoint):
         return [rng.choice(alpha, size=rng.integers(lo, hi))
                 .astype("uint8").tobytes() for _ in range(n)]
 
-    def guard(name, fn, timeout=150):
+    def guard(name, fn, timeout=120):
+        if time.time() > deadline - 20:
+            raise SystemExit
+        timeout = min(timeout, max(10, deadline - time.time() - 10))
         try:
             if on_tpu:
                 return _with_timeout(fn, timeout)
@@ -437,10 +489,34 @@ def _secondary_configs(on_tpu, out, checkpoint):
     scale = 1 if on_tpu else 8  # smaller sweeps off-TPU
 
     try:
-        # 2: SW local blosum62, 1k-pair engine batch (pack->dispatch->fetch)
         blosum = Matrix.from_name("blosum62")
         sw = (Aligner.new().matrix(blosum).gap_open(11).gap_extend(1)
               .local().build())
+
+        # 7: streaming pipeline e2e — sustained aln/s INCLUDING Alignment
+        # object access, host pack / device compute / result build
+        # overlapped by StreamingAligner (the production serving path).
+        from parasail_rs_tpu.engine.stream import StreamingAligner
+
+        n7 = 16384 // scale
+        q7 = seqs(aa, n7, 140, 160)
+        r7 = seqs(aa, n7, 140, 160)
+
+        def stream_run():
+            with StreamingAligner(sw, flush_size=4096) as st:
+                handles = [st.submit(q, r) for q, r in zip(q7, r7)]
+                st.flush()
+                return sum(h.result().get_score() for h in handles)
+
+        guard("cfg7_warm", stream_run, timeout=180)
+        dt = guard("cfg7", lambda: _timeit(stream_run, reps=1), timeout=180)
+        out["cfg7_stream_e2e_aln_per_sec"] = round(n7 / dt)
+        checkpoint()
+        print(f"[bench] cfg7 streaming e2e {n7} pairs incl. Alignment "
+              f"objects: {dt*1e3:.0f} ms ({n7/dt:.0f} aln/s)",
+              file=sys.stderr)
+
+        # 2: SW local blosum62, 1k-pair engine batch (pack->dispatch->fetch)
         qs = seqs(aa, 1024 // scale, 140, 160)
         rs = seqs(aa, 1024 // scale, 140, 160)
         guard("cfg2_warm", lambda: sw.align_batch(qs, rs))
@@ -458,9 +534,9 @@ def _secondary_configs(on_tpu, out, checkpoint):
         refs = seqs(aa, nrefs, 140, 160)
         # warm with the SAME batch shape: a different padded batch would
         # recompile inside the timed rep
-        guard("cfg3_warm", lambda: pa.align_batch(None, refs), timeout=240)
+        guard("cfg3_warm", lambda: pa.align_batch(None, refs), timeout=180)
         dt = guard("cfg3", lambda: _timeit(
-            lambda: pa.align_batch(None, refs), reps=1), timeout=240)
+            lambda: pa.align_batch(None, refs), reps=1), timeout=180)
         out["cfg3_profile_e2e_aln_per_sec"] = round(nrefs / dt)
         checkpoint()
         print(f"[bench] cfg3 profile vs {nrefs} refs: {dt*1e3:.0f} ms "
@@ -498,9 +574,9 @@ def _secondary_configs(on_tpu, out, checkpoint):
         mixed_r = seqs(dna, 256 // scale, 100, 2000)
         mx = Aligner.new().gap_open(5).gap_extend(2).local().build()
         guard("cfg5_warm", lambda: mx.align_many(mixed_q, mixed_r),
-              timeout=240)
+              timeout=180)
         dt = guard("cfg5", lambda: _timeit(
-            lambda: mx.align_many(mixed_q, mixed_r), reps=1), timeout=240)
+            lambda: mx.align_many(mixed_q, mixed_r), reps=1), timeout=180)
         cells = sum(len(a) * len(b) for a, b in zip(mixed_q, mixed_r))
         out["cfg5_mixed_gcups"] = round(cells / dt / 1e9, 3)
         checkpoint()
@@ -514,9 +590,9 @@ def _secondary_configs(on_tpu, out, checkpoint):
             q6 = seqs(dna, B6, L6, L6 + 1)
             r6 = seqs(dna, B6, L6, L6 + 1)
             lg = Aligner.new().gap_open(5).gap_extend(1).local().build()
-            guard("cfg6_warm", lambda: lg.align_batch(q6, r6), timeout=300)
+            guard("cfg6_warm", lambda: lg.align_batch(q6, r6), timeout=240)
             dt = guard("cfg6", lambda: _timeit(
-                lambda: lg.align_batch(q6, r6), reps=1), timeout=240)
+                lambda: lg.align_batch(q6, r6), reps=1), timeout=180)
             out["cfg6_stream16k_gcups"] = round(B6 * L6 * L6 / dt / 1e9, 1)
             checkpoint()
             print(f"[bench] cfg6 streamed 16kbp x{B6}: {dt*1e3:.0f} ms "
