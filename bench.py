@@ -504,7 +504,7 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline):
 
         def stream_run():
             with StreamingAligner(sw, flush_size=4096) as st:
-                handles = [st.submit(q, r) for q, r in zip(q7, r7)]
+                handles = st.submit_many(q7, r7)
                 st.flush()
                 return sum(h.result().get_score() for h in handles)
 

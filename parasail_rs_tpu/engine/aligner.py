@@ -23,6 +23,7 @@ from ..errors import InteriorNulByte, NoBandwidth, NoTrace, QueryRequired
 from ..golden.model import free_flags
 from ..matrices import Matrix
 from ..ops.specs import KernelKey
+from ..utils.gcpause import gc_pause
 from . import dispatch
 from .profile import Profile
 from .result import Alignment, PairFields, SSWResult
@@ -313,13 +314,14 @@ class Aligner:
         f_un = self._flags(False)
         mk, pf = Alignment, PairFields
         matrix, free, mode = self.matrix, self.key.free, self.key.mode
-        return [
-            mk(fields=pf(cols, big, b, qlens[b], rlens[b]),
-               flags=f_sat if sat_l[b] else f_un,
-               query_len=qlens[b], ref_len=rlens[b],
-               matrix=matrix, free=free, mode=mode)
-            for b in range(n)
-        ]
+        with gc_pause(n):
+            return [
+                mk(fields=pf(cols, big, b, qlens[b], rlens[b]),
+                   flags=f_sat if sat_l[b] else f_un,
+                   query_len=qlens[b], ref_len=rlens[b],
+                   matrix=matrix, free=free, mode=mode)
+                for b in range(n)
+            ]
 
     def _run_packed(self, batch, qlens, rlens):
         return self._alignments_from(self._execute(batch), qlens, rlens)
@@ -343,12 +345,19 @@ class Aligner:
         return self._run_packed(*self._pack(queries, references))
 
     def align_many(self, queries, references,
-                   max_cells: int = 1 << 28) -> list[Alignment]:
+                   max_cells: int | None = None) -> list[Alignment]:
         """Length-binned batched alignment (BASELINE config 5).
 
         Pairs are grouped by padded-shape bucket so a 100bp pair never
         pays a 10kbp tile (batch/scheduler.py); results return in input
         order.
+
+        ``max_cells`` caps B*Qp*Rp per launch.  Default: 2^28 for
+        cell-sized output classes (trace/tables keep a (B, Qp, Rp) plane
+        on HBM per outstanding launch) and 2^33 for scalar classes —
+        scalar launches carry no cell-sized planes, and every extra
+        launch costs a dispatch round-trip (~60ms on the dev tunnel,
+        ~10x the kernel time of the batch it carries).
         """
         from ..batch import plan_bins
 
@@ -374,6 +383,8 @@ class Aligner:
         # of them.  Cell-sized outputs (trace/tables) keep the cells cap
         # as the true HBM bound.
         cell_sized = self.key.outputs in ("trace", "table", "stats_table")
+        if max_cells is None:
+            max_cells = (1 << 28) if cell_sized else (1 << 33)
         bins = plan_bins(qlens, rlens, max_cells=max_cells,
                          lane_quantum=1 if cell_sized else 128)
         results: list[Alignment | None] = [None] * len(refs)
@@ -389,8 +400,12 @@ class Aligner:
                 qsel(idx), [refs[i] for i in idx], Qp=bin_.qp, Rp=bin_.rp)
             pending.append((idx, self._execute(batch, fetch=cell_sized),
                             bql, brl))
-        for idx, pend, bql, brl in pending:
-            out = pend if cell_sized else pend.fetch()
+        # scalar outputs: ONE combined device->host transfer for every
+        # bin (dispatch.fetch_all) instead of one round-trip per bin
+        outs = (None if cell_sized else
+                dispatch.fetch_all([p for _, p, _, _ in pending]))
+        for k, (idx, pend, bql, brl) in enumerate(pending):
+            out = pend if cell_sized else outs[k]
             sub = self._alignments_from(out, bql, brl)
             for i, aln in zip(idx, sub):
                 results[i] = aln

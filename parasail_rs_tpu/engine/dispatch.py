@@ -22,6 +22,7 @@ from collections import Counter
 import numpy as np
 
 from ..ops.wavefront import wavefront_align
+from ..utils.gcpause import gc_pause
 from ..utils.shapes import length_bucket
 
 log = logging.getLogger("parasail_rs_tpu")
@@ -189,6 +190,12 @@ def pack_pairs(
     Returns (batch, qlens list, rlens list).
     """
     B = len(references)
+    with gc_pause(B):
+        return _pack_pairs_inner(matrix, queries, references, profile,
+                                 Qp, Rp, B)
+
+
+def _pack_pairs_inner(matrix, queries, references, profile, Qp, Rp, B):
     rbytes, rlens, Rp = _pack_side(references, Rp)
     # mapper lookup runs ON DEVICE: the batch ships packed uint8 bytes
     # (4x less transfer) and the host never pays the gather.  The Pallas
@@ -519,11 +526,64 @@ class PendingResult:
         self._device_out = device_out          # dict of jax arrays
         self._packed = packed_form             # (names, packed, big, B)
 
+    def start_transfer(self) -> "PendingResult":
+        """Begin the device->host copy without blocking.
+
+        The runtime streams each array to the host as soon as its
+        producing kernel finishes, so a later :meth:`fetch` finds the
+        bytes already local.  With several results in flight (align_many
+        bins, StreamingAligner buckets) the transfer round-trips overlap
+        each other and the remaining device compute instead of
+        serializing one blocking RTT per result — on the dev tunnel that
+        RTT is ~100ms, ~20x the kernel time of an 8192-pair batch.
+        """
+        arrays = ([self._packed[1], *self._packed[2].values()]
+                  if self._packed is not None
+                  else list(self._device_out.values()))
+        for a in arrays:
+            copy = getattr(a, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        return self
+
     def fetch(self) -> dict[str, np.ndarray]:
         if self._packed is not None:
             names, packed, big, B = self._packed
             return _unpack_scalars(names, np.asarray(packed), big, B)
         return {k: np.asarray(v) for k, v in self._device_out.items()}
+
+
+def fetch_all(pendings: list["PendingResult"]) -> list[dict]:
+    """Fetch many pending results with ONE device->host transfer.
+
+    When every pending holds a packed scalar form with the same output
+    names and no cell-sized planes (score/stats classes), their packed
+    arrays concatenate device-side into one array and the host pays a
+    single transfer round-trip instead of one per launch — on the dev
+    tunnel each round-trip costs ~60-115ms regardless of size, so an
+    8-bin align_many collapses ~0.5s of serialized RTTs into one.
+    Falls back to per-pending fetch for mixed or cell-sized results.
+    """
+    if len(pendings) > 1:
+        forms = [p._packed for p in pendings]
+        if all(f is not None and not f[2] and f[0] == forms[0][0]
+               for f in forms):
+            import jax.numpy as jnp
+
+            names = forms[0][0]
+            host = np.asarray(jnp.concatenate([f[1] for f in forms],
+                                              axis=1))
+            outs = []
+            off = 0
+            for f in forms:
+                bp = f[1].shape[1]
+                outs.append(_unpack_scalars(
+                    names, host[:, off:off + bp], {}, f[3]))
+                off += bp
+            return outs
+    for p in pendings:          # mixed forms: at least overlap the RTTs
+        p.start_transfer()
+    return [p.fetch() for p in pendings]
 
 
 def _unpack_scalars(names, packed, big, B):

@@ -184,14 +184,18 @@ class PairFields:
         return f"PairFields({{{', '.join(self.keys())}}}, b={self._b})"
 
 
-@dataclass
+@dataclass(slots=True)
 class Alignment:
     """Sequence alignment result.
 
     Accessor surface mirrors the reference ``Alignment``
     (src/alignment/mod.rs:53-504).  ``fields`` holds the per-pair host
     arrays the device kernel produced; ``flags`` holds the 15 predicate
-    bits the reference reads off the C result tag.
+    bits the reference reads off the C result tag.  ``slots=True``
+    because batch paths build one of these per pair: without it every
+    instance also allocates a gc-tracked ``__dict__``, and the cyclic
+    collector's repeated scans over those dominate 64k-pair host time
+    (measured ~5x on `_alignments_from`).
     """
 
     fields: dict

@@ -532,6 +532,55 @@ def test_streaming_aligner():
     assert h.result().get_score() == aligner.align(b"ACGT", b"ACGT").get_score()
 
 
+def test_streaming_submit_many():
+    """Bulk submit matches the per-pair loop: same results, input order,
+    flush thresholds respected (a group larger than flush_size splits
+    into multiple launches)."""
+    from parasail_rs_tpu.engine.stream import StreamingAligner
+
+    rng = np.random.default_rng(43)
+    m = Matrix.create(b"ACGT", 2, -3)
+    aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1).local()
+               .use_stats().build())
+    pairs = [
+        (rng.choice(list(b"ACGT"),
+                    size=rng.integers(3, 120)).astype("uint8").tobytes(),
+         rng.choice(list(b"ACGT"),
+                    size=rng.integers(3, 120)).astype("uint8").tobytes())
+        for _ in range(73)]
+    qs = [q for q, _ in pairs]
+    rs = [r for _, r in pairs]
+    expected = aligner.align_batch(qs, rs)
+    with StreamingAligner(aligner, flush_size=16) as stream:
+        handles = stream.submit_many(qs, rs)
+        stream.flush()
+        assert len(handles) == len(pairs)
+        for exp, h in zip(expected, handles):
+            res = h.result(timeout=60)
+            assert res.get_score() == exp.get_score()
+            assert res.get_matches() == exp.get_matches()
+            assert res.get_end_ref() == exp.get_end_ref()
+
+    # mixing bulk and per-pair submission into the same buckets
+    with StreamingAligner(aligner, flush_size=16) as stream:
+        h1 = stream.submit(qs[0], rs[0])
+        hs = stream.submit_many(qs[1:5], rs[1:5])
+        stream.flush()
+        assert h1.result(timeout=60).get_score() == expected[0].get_score()
+        for exp, h in zip(expected[1:5], hs):
+            assert h.result(timeout=60).get_score() == exp.get_score()
+
+    # profile-held queries: queries arg is ignored / may be None
+    prof_aligner = (Aligner.new().matrix(m).gap_open(4).gap_extend(1)
+                    .local().profile(Profile.new(qs[0], False, m)).build())
+    with StreamingAligner(prof_aligner, flush_size=8) as stream:
+        hs = stream.submit_many(None, rs[:6])
+        stream.flush()
+        for r, h in zip(rs[:6], hs):
+            assert h.result(timeout=60).get_score() == \
+                prof_aligner.align(None, r).get_score()
+
+
 def test_streaming_per_bucket_resolution():
     """result() must resolve only its own bucket — other buckets keep
     accumulating (no global flush), and full buckets resolve in the
