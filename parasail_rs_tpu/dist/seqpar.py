@@ -11,10 +11,11 @@ on query-chunk t at super-step s = t + d.  Two state flows:
   rows, plus the above-row diagonal cell — the halo the neighbor's first
   column consumes;
 - downward (device-local): per column, the last-row H and the running
-  prefix-max PM[j] = max_{k<r0} (Htemp[k,j] - open + ext*k), which seeds
-  the vertical-gap prefix scan of the next query-chunk (the same scan
-  trick as ops/scan_kernel.py, so exactness likewise needs
-  gap_open >= gap_extend).
+  prefix-max PM[j] = max_{k<r0} (Htemp[k,j] - open + e_ext*k) with
+  e_ext = min(open, ext), which seeds the vertical-gap prefix scan of
+  the next query-chunk (the same scan trick as ops/scan_kernel.py —
+  exact for any penalties on value outputs; stats need strict
+  gap_open > gap_extend).
 
 The reference's closest feature is the scalar banded NW offered for
 "large sequences" (src/aligner/mod.rs:454-489); there is no distributed
@@ -94,14 +95,13 @@ def seqpar_align(*args, **kw):
     ext = kw.get("ext", None)
     outputs = kw.get("outputs", "score")
     if open_ is not None and ext is not None:
-        if int(open_) < int(ext) or (outputs == "stats"
-                                     and int(open_) == int(ext)):
-            # the vertical-gap prefix scan shares the scan kernel's
-            # exactness contract; silently wrong results are worse than
-            # an error (single-chip configs route to the wavefront)
+        if outputs == "stats" and int(open_) <= int(ext):
+            # stats payloads share the scan kernel's tie contract
+            # (strict open > ext); silently wrong accumulators are worse
+            # than an error (single-chip configs route to the wavefront)
             raise ValueError(
-                f"sequence-parallel fill requires gap_open >= gap_extend "
-                f"(strictly > for stats); got {int(open_)}/{int(ext)}")
+                f"sequence-parallel stats require gap_open > gap_extend "
+                f"(payload tie semantics); got {int(open_)}/{int(ext)}")
     return _seqpar_align_jit(*args, **kw)
 
 
@@ -157,6 +157,9 @@ def _seqpar_align_jit(
     neg = NEG_INF32
     open_ = jnp.asarray(open_, I32)
     ext = jnp.asarray(ext, I32)
+    # vertical prefix-scan slope — min(open, ext) is the exact closed
+    # form of golden's E recurrence for any penalties (scan_kernel.py)
+    e_ext = jnp.minimum(ext, open_)
 
     def top_b(jg):  # bordered H[0][jg]
         v = jnp.where(jg > 0, -(open_ + (jg - 1) * ext), 0).astype(I32)
@@ -241,8 +244,12 @@ def _seqpar_align_jit(
                 htemp = jnp.maximum(diag, F)
                 if local:
                     htemp = jnp.maximum(htemp, 0)
-                a = htemp - open_ + ext * ig
-                seed = jnp.where(t == 0, top_b(jg + 1) - open_ - ext, dPM_j)
+                # A-domain slope min(open, ext): exact closed form of
+                # golden's E recurrence for ANY penalties (see
+                # ops/scan_kernel.py kernel-body comment)
+                a = htemp - open_ + e_ext * ig
+                seed = jnp.where(t == 0, top_b(jg + 1) - open_ - e_ext,
+                                 dPM_j)
                 if want_stats:
                     im = (qidx_c == rcol[None, :]).astype(I32)
                     m_d = jnp.where(iic == 0, tophm[None, :],
@@ -274,11 +281,11 @@ def _seqpar_align_jit(
                     pm, (Em, Es, Elm) = _prefix_argmax_exclusive(
                         a, (Tm, Ts, Tlm), iic, seed,
                         (sm[None, :], ss_[None, :], sl[None, :]))
-                    E = pm - ext * (ig - 1)
+                    E = pm - e_ext * (ig - 1)
                     El = Elm + ig
                 else:
                     pm = _prefix_max_exclusive(a, iic, seed)
-                    E = pm - ext * (ig - 1)
+                    E = pm - e_ext * (ig - 1)
                 H = jnp.maximum(htemp, E)
                 newPM = jnp.maximum(seed, a.max(axis=0))
                 if want_trace:

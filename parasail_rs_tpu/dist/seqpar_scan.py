@@ -23,9 +23,10 @@ single pair, lanes carry padding and the XLA path's (Qc, B) layout
 wastes the same vector width — this route still wins on the kernel's
 per-column cost.
 
-Exactness: G-select only (alphabet <= 32 — every parasail matrix) and
-the scan kernel's gap contract (gap_open >= gap_extend; strictly > for
-stats).  Callers outside that envelope use dist/seqpar.seqpar_align.
+Exactness: G-select only (alphabet <= 32 — every parasail matrix); any
+penalty pair for value outputs (the vertical scan runs at slope
+min(open, ext) — scan_kernel.py), stats strictly gap_open > gap_extend.
+Callers outside that envelope use dist/seqpar.seqpar_align.
 
 The reference has no distributed analog (its long-sequence story is the
 scalar banded NW, src/aligner/mod.rs:454-489); this is the designed-
@@ -63,7 +64,8 @@ def seqpar_scan_fits(q_chunk: int, Rp: int, n_devices: int,
     """Can the Pallas rowseg route serve this seqpar configuration?
 
     Pass ``gap_open``/``gap_extend`` to also enforce the scan kernel's
-    exactness contract (gap_open >= gap_extend; strictly > for stats).
+    stats tie contract (stats need strict gap_open > gap_extend; value
+    outputs are exact for any penalty pair).
     For ``outputs="trace"`` pass ``Qp``/``batch`` too: every device
     accumulates its (batch, Qp, Rp/D) int8 flag shard in HBM during the
     pipeline, and the route declines when that exceeds 4 GB.
@@ -73,9 +75,7 @@ def seqpar_scan_fits(q_chunk: int, Rp: int, n_devices: int,
     if Rp % n_devices or q_chunk % 8:
         return False
     if gap_open is not None and gap_extend is not None:
-        if gap_open < gap_extend:
-            return False
-        if outputs == "stats" and gap_open == gap_extend:
+        if outputs == "stats" and gap_open <= gap_extend:
             return False
     if outputs == "trace" and Qp is not None:
         Bp = (batch + LANES - 1) // LANES * LANES
@@ -132,9 +132,13 @@ def _seqpar_scan(
         zc = jnp.zeros((C,), I32)
         topb = zc if (qb or local) else border(cols + 1)
         top_len = zc if (qb or local) else cols + 1
-        # down-state of the virtual row above the matrix (row chunk 0)
+        # down-state of the virtual row above the matrix (row chunk 0).
+        # The PM seed lives in the kernel's A-domain, whose slope is
+        # min(open, ext) (scan_kernel.py: exact for any penalties):
+        # A[-1] = H[0][j+1] - open + min(open, ext) * (-1).
         bd_down = {"h": lanes_bcast(topb),
-                   "pm": lanes_bcast(topb - open_ - ext)}
+                   "pm": lanes_bcast(topb - open_
+                                     - jnp.minimum(ext, open_))}
         if want_trace:
             bd_down["e"] = jnp.full((nb, C, LANES), neg, I32)
         if want_stats:

@@ -50,9 +50,7 @@ def plan_sharded_route(
 ) -> str:
     """Pick "scan" (Pallas) or "wavefront" for a sharded batch — the same
     gates as engine.dispatch._use_pallas, applied per shard."""
-    if gap_open < gap_extend:
-        return "wavefront"
-    if outputs in _STATS_OUTPUTS and gap_open == gap_extend:
+    if outputs in _STATS_OUTPUTS and gap_open <= gap_extend:
         return "wavefront"
     vals = np.asarray(score_values)
     if vals.min() < -128 or vals.max() > 127:

@@ -262,6 +262,82 @@ def _device_encode(mapper, bytes2d, lens, fill):
         jnp.asarray(lens, jnp.int32), jnp.asarray(fill, jnp.int32))
 
 
+INT32_SAFE = (1 << 31) - 1
+
+
+def width64_risk(batch: PairBatch, gap_open: int,
+                 gap_extend: int) -> np.ndarray:
+    """Indices of pairs whose worst-case |H| could exceed int32.
+
+    Per-pair bound: |H| <= (max|s| + open + ext) * (qlen + rlen) — every
+    DP step changes H by at most one substitution plus one gap term.
+    Conservative (a pair under the bound can NEVER overflow int32), so
+    the int32 kernels serve everything not flagged here and only flagged
+    pairs pay the exact int64 host fill.
+    """
+    smax = int(np.abs(np.asarray(batch.score_values)).max())
+    per = smax + abs(int(gap_open)) + abs(int(gap_extend))
+    bound = per * (batch.qlen.astype(np.int64) +
+                   batch.rlen.astype(np.int64))
+    return np.nonzero(bound > INT32_SAFE)[0]
+
+
+def _golden64_merge(out: dict, batch: PairBatch, idx: np.ndarray, *,
+                    gap_open, gap_extend, mode, free, outputs) -> dict:
+    """Overwrite the int32 kernel results of ``idx`` pairs with an exact
+    int64 scalar golden fill (golden/model.py computes in int64).
+
+    Scalar/table/rowcol planes are upcast to int64 so merged scores
+    survive; trace flags stay int8 (flag encoding is width-free).
+    """
+    from ..golden import model as golden
+
+    qidx_all = np.asarray(batch.qidx)
+    ridx_all = np.asarray(batch.ridx)
+    prof = None if batch.profile is None else np.asarray(batch.profile)
+    table = None if batch.table is None else np.asarray(batch.table)
+    # writable copies: kernel outputs can be read-only views of device
+    # buffers; int planes upcast to int64 so merged scores survive
+    out = {k: (np.array(v) if v.dtype == np.int8
+               or k in ("saturated", "promoted")
+               else v.astype(np.int64))
+           for k, v in out.items()}
+    stats_keys = ("matches", "similar", "length")
+    for b in idx.tolist():
+        ql, rl = int(batch.qlen[b]), int(batch.rlen[b])
+        qi = qidx_all[0 if qidx_all.shape[0] == 1 else b, :ql]
+        ri = ridx_all[b, :rl]
+        if table is not None:
+            sub = table[qi[:, None], ri[None, :]].astype(np.int64)
+        else:
+            p = prof[0 if prof.shape[0] == 1 else b, :ql]
+            sub = p[np.arange(ql)[:, None], ri[None, :]].astype(np.int64)
+        g = golden.align(sub, qi[:, None] == ri[None, :],
+                         int(gap_open), int(gap_extend), mode, free)
+        out["score"][b] = g.score
+        out["end_query"][b] = g.end_query
+        out["end_ref"][b] = g.end_ref
+        if "saturated" in out:
+            out["saturated"][b] = False     # int64 fill cannot saturate
+        for k in stats_keys:
+            if k in out:
+                out[k][b] = getattr(g, k)
+        for k in list(out):
+            if k.endswith("_table") and k != "trace_table":
+                out[k][b] = 0
+                out[k][b, :ql, :rl] = getattr(g, k)
+            elif k.endswith("_row"):
+                out[k][b] = 0
+                out[k][b, :rl] = getattr(g, k)
+            elif k.endswith("_col"):
+                out[k][b] = 0
+                out[k][b, :ql] = getattr(g, k)
+        if "trace_table" in out:
+            out["trace_table"][b] = 0
+            out["trace_table"][b, :ql, :rl] = g.trace_table
+    return out
+
+
 def execute(
     batch: PairBatch,
     *,
@@ -276,10 +352,13 @@ def execute(
 ) -> dict[str, np.ndarray]:
     """Run the wavefront kernel over a batch; fetch host numpy results.
 
-    ``width`` follows the reference grammar {sat,8,16,32,64}; 64 maps onto
-    the int32 kernel (alignment scores beyond int32 would require sequences
-    and matrices far outside parasail's own operating range; the knob is
-    accepted and reported for parity).
+    ``width`` follows the reference grammar {sat,8,16,32,64} (parasail's
+    ``_64`` kernels: src/aligner/mod.rs:331).  64 runs the int32 kernels
+    for every pair whose worst-case |H| bound fits int32 — on TPU there
+    is no native 64-bit integer datapath — and pairs whose bound does
+    not fit are re-filled exactly in int64 by the scalar golden model
+    and merged back (:func:`width64_risk`).  Sane inputs never trip the
+    bound, so the honest knob costs nothing in practice.
 
     ``on_fallback(route, reason)`` is invoked whenever the batch does not
     take the one-shot Pallas route (it lands on "stream" or "wavefront");
@@ -287,6 +366,20 @@ def execute(
     """
     from ..utils import profiling
 
+    if width == "64":
+        wide = width64_risk(batch, gap_open, gap_extend)
+        if wide.size:
+            log.warning(
+                "width='64': %d pair(s) exceed the int32 score bound; "
+                "re-filling them exactly in int64 on the host (scalar "
+                "golden model)", wide.size)
+            out = execute(batch, gap_open=gap_open, gap_extend=gap_extend,
+                          mode=mode, free=free, outputs=outputs,
+                          width="32", fetch=True, on_fallback=on_fallback)
+            out = _golden64_merge(out, batch, wide, gap_open=gap_open,
+                                  gap_extend=gap_extend, mode=mode,
+                                  free=free, outputs=outputs)
+            return out if fetch else PendingResult(device_out=out)
     kernel_width = {"64": "32"}.get(width, width)
     with profiling.trace_region(f"pt.execute.{mode}.{outputs}"):
         route, reason = plan_route(batch, outputs, gap_open, gap_extend)
@@ -359,17 +452,17 @@ def _pallas_gate(batch: PairBatch, outputs: str, gap_open: int,
                  gap_extend: int) -> tuple[bool, str]:
     """(eligible?, reason-if-not) for the one-shot Pallas scan route.
 
-    Requirements (see ops/scan_kernel.py): open >= ext (scan exactness;
-    stats need strict > — gap-restart value TIES are possible at
-    open == ext and golden then takes the restart's accumulators),
-    int8-safe substitution scores, and a TPU backend (or
-    PT_FORCE_PALLAS=1: runs interpreted — test use).
+    Requirements (see ops/scan_kernel.py): int8-safe substitution
+    scores, and a TPU backend (or PT_FORCE_PALLAS=1: runs interpreted —
+    test use).  Value outputs are exact for ANY penalty pair (the
+    vertical prefix scan runs at slope min(open, ext), which is the
+    golden recurrence's closed form); stats payloads need strict
+    open > ext — gap-restart value ties otherwise route accumulators
+    through comparisons the one-pass argmax scan cannot observe.
     """
-    if gap_open < gap_extend:
-        return False, "gap_open < gap_extend (scan-formulation exactness)"
     if outputs in ("stats", "stats_table", "stats_rowcol") and \
-            gap_open == gap_extend:
-        return False, "gap_open == gap_extend with stats (tie semantics)"
+            gap_open <= gap_extend:
+        return False, "gap_open <= gap_extend with stats (tie semantics)"
     if batch.score_values.min() < -128 or batch.score_values.max() > 127:
         return False, "substitution scores exceed int8 range"
     # Memory gates.  VMEM feasibility (tile plan incl. chunked-query
@@ -679,9 +772,7 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
     falling to the (orders-of-magnitude slower on TPU) wavefront."""
     from ..ops.scan_kernel import scan_fits_stream
 
-    if gap_open < gap_extend:
-        return False
-    if outputs == "stats" and gap_open == gap_extend:
+    if outputs == "stats" and gap_open <= gap_extend:
         return False
     if batch.score_values.min() < -128 or batch.score_values.max() > 127:
         return False
@@ -803,9 +894,10 @@ def _wavefront_exec(batch, *, gap_open, gap_extend, mode, free, outputs,
     observed to CRASH the worker process outright (observed at 16kbp
     pairs on the dev v5e), killing every subsequent dispatch in the
     process.  Batches that big only reach the wavefront for configs
-    outside every scan-kernel contract (e.g. gap_open < gap_extend), so
-    correctness beats speed: run the same jitted kernel on the host CPU
-    backend instead of risking the accelerator.
+    outside every scan-kernel contract (stats with gap_open <=
+    gap_extend, or scores beyond int8), so correctness beats speed: run
+    the same jitted kernel on the host CPU backend instead of risking
+    the accelerator.
     PT_WAVEFRONT_TPU_MAX_SPAN overrides the threshold.
     """
     import jax

@@ -23,13 +23,17 @@ last-row H and the running prefix max PM[j] = max_{k<r0} A[k,j] — carry
 the DP across chunk boundaries (the single-chip form of the
 sequence-parallel scheme in dist/seqpar.py).
 
-Exactness requires gap_open >= gap_extend (a vertical gap restarted from
-a cell that itself sits in a vertical gap can never beat extending the
-original gap) — the same contract parasail documents for its penalties
-(reference doc: src/aligner/mod.rs:140-154).  Stats additionally require
-strict gap_open > gap_extend (at equality, gap-restart value ties exist
-and the golden recurrence follows the restart's accumulators).  The
-engine falls back to the XLA wavefront path otherwise.
+Exactness holds for ANY penalty pair on the value planes (score / table
+/ rowcol / trace): golden's E[i] = max(H[i-1]-open, E[i-1]-ext) with
+H = max(Htemp, E) unrolls exactly to the prefix closed form with slope
+e_ext = min(open, ext) — when open < ext a re-opened length-1 gap
+through H beats extending at every step, and the substituted slope IS
+that optimum (see the kernel-body comment).  STATS remain restricted to
+strict gap_open > gap_extend: at open == ext gap-restart value ties are
+systematic, and at open < ext golden's restart-wins tie rule routes the
+payload through max(Htemp, E) whose own diag-vs-F tie the one-pass
+argmax scan cannot observe — the engine falls back to the XLA wavefront
+path for those (reference penalties doc: src/aligner/mod.rs:140-154).
 
 Substitution scores resolve IN-KERNEL from a packed letter-indexed
 profile ("G-select", the default): profile rows pack 4 int8 scores per
@@ -512,6 +516,16 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
 
         open_ = gaps_ref[0]
         ext = gaps_ref[1]
+        # Effective vertical-gap extension.  Golden's recurrence
+        # E[i] = max(H[i-1]-open, E[i-1]-ext) with H = max(Htemp, E)
+        # unrolls EXACTLY to max_k (Htemp[k] - open - (i-1-k)*min(open,
+        # ext)): when open < ext, re-opening a length-1 gap through H
+        # beats extending at every step, and the prefix scan captures
+        # that closed-form with the substituted slope.  Value planes
+        # (H/E/F) therefore stay golden-exact for ANY penalty pair; only
+        # the A-domain terms below use e_ext — golden's branch
+        # comparisons (from_open_f, eflag) keep the true ext.
+        e_ext = jnp.minimum(ext, open_)
         bw = gaps_ref[2]
         j0 = gaps_ref[3]   # global column offset (reference streaming)
         tq = pl.program_id(1)
@@ -523,8 +537,8 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         ig = r0 + ii                               # global query row
         # loop-invariant slabs hoisted out of the column sweep
         pmasks = _prefix_masks(ii, Qc)
-        a_base = ext * ig - open_
-        e_base = ext * (ig - 1)
+        a_base = e_ext * ig - open_
+        e_base = e_ext * (ig - 1)
         qlen = qlen_ref[0, :, :]                   # (1, LANES)
         rlen = rlen_ref[0, :, :]
         imask = ig < qlen
@@ -668,7 +682,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             if rowseg:
                 seed = dinp_ref[0, pl.ds(jj, 1), :]
             else:
-                seed0 = top_b(j + 1) - open_ + ext * (r0 - 1)
+                seed0 = top_b(j + 1) - open_ + e_ext * (r0 - 1)
                 if chunked:
                     seed = jnp.where(tq == 0, seed0 * ones,
                                      dPM[pl.ds(jl, 1), :])

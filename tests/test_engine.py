@@ -693,3 +693,53 @@ def test_ssw_windowed_zero_score_pair():
     res = al.ssw_batch([b"AAAA"], [b"TTTT"], windowed=True)
     assert res[0].score1 == 0
     assert res[0].cigar_len() == 0
+
+
+def test_width64_exceeds_int32_exact():
+    """width='64' is honored exactly: pairs whose score bound exceeds
+    int32 are re-filled in int64 by the golden model (the reference's
+    _64 kernels: src/aligner/mod.rs:331).  A 300bp perfect match at
+    match=+10^7 scores 3e9 > INT32_MAX."""
+    from parasail_rs_tpu.engine.dispatch import width64_risk
+
+    m = Matrix.create(b"ACGT", 10_000_000, -1)
+    q = b"ACGT" * 75                       # 300 bp
+    small = b"ACGT" * 4
+    a64 = (Aligner.new().matrix(m).gap_open(5).gap_extend(1).global_()
+           .solution_width(64).use_stats().build())
+    res, res_small = a64.align_batch([q, small], [q, small])
+    assert res.get_score() == 300 * 10_000_000  # > 2**31: int64 honored
+    assert res.get_end_query() == 299 and res.get_end_ref() == 299
+    assert res.get_matches() == 300 and res.get_length() == 300
+    assert not res.is_saturated()
+    # the small pair in the same batch keeps the kernel result
+    assert res_small.get_score() == 16 * 10_000_000
+    g = golden.align_seqs(q, q, m, 5, 1, "nw")
+    assert res.get_score() == g.score
+
+    # sane inputs never trip the bound: the int32 kernel serves them
+    batch, _, _ = (Aligner.new().matrix(Matrix.from_name("blosum62"))
+                   .gap_open(5).gap_extend(1).solution_width(64).build()
+                   ._pack([b"ARND"], [b"ARND"]))
+    assert width64_risk(batch, 5, 1).size == 0
+
+
+def test_width64_trace_and_rowcol_merge():
+    """The int64 merge covers trace and rowcol output classes too."""
+    m = Matrix.create(b"ACGT", 8_000_000, -8_000_000)
+    q, r = b"ACGTACGTACGTACGTACGTACGTACGTACGTACGT" * 6, b"ACGTTT" * 36
+    a = (Aligner.new().matrix(m).gap_open(5).gap_extend(1).local()
+         .solution_width(64).use_trace().build())
+    res = a.align(q, r)
+    g = golden.align_seqs(q, r, m, 5, 1, "sw")
+    assert res.get_score() == g.score
+    assert res.get_cigar(q, r) == golden.walk_trace(
+        g.trace_table, q, r, g.end_query, g.end_ref, "sw").cigar_string()
+    a2 = (Aligner.new().matrix(m).gap_open(5).gap_extend(1).global_()
+          .solution_width(64).use_last_rowcol().build())
+    res2 = a2.align(q, r)
+    g2 = golden.align_seqs(q, r, m, 5, 1, "nw")
+    np.testing.assert_array_equal(
+        np.asarray(res2.get_score_row()), g2.score_table[-1, :])
+    np.testing.assert_array_equal(
+        np.asarray(res2.get_score_col()), g2.score_table[:, -1])

@@ -1,8 +1,9 @@
 """Randomized engine-level fuzzing vs the golden oracle.
 
 Sweeps gap-penalty regimes that exercise different dispatch routes —
-open > ext (Pallas-eligible), open == ext (stats must fall back),
-open < ext (everything falls back to the wavefront) — plus degenerate
+open > ext (every output class Pallas-eligible), open <= ext (value
+outputs stay on the scan route via the min(open, ext) slope; stats fall
+back to the wavefront for payload tie semantics) — plus degenerate
 lengths, all through the public API.
 """
 

@@ -125,12 +125,16 @@ def test_result_matrix_approximate_property(clean_registry):
 def test_plan_route_reports_reasons():
     m = Matrix.from_name("blosum62")
     batch, _, _ = pack_pairs(m, [b"ARND"], [b"ARND"])
-    # open < ext disqualifies the scan formulation outright
+    # open < ext serves value outputs on the scan route (slope
+    # min(open, ext)); off-TPU the disqualifier is the backend
     route, reason = plan_route(batch, "score", 1, 2)
     assert route == "wavefront"
-    assert "gap_open < gap_extend" in reason
-    # stats at open == ext: tie semantics
+    assert "backend is" in reason
+    # stats at open <= ext: payload tie semantics
     route, reason = plan_route(batch, "stats", 3, 3)
+    assert route == "wavefront"
+    assert "tie semantics" in reason
+    route, reason = plan_route(batch, "stats", 1, 2)
     assert route == "wavefront"
     assert "tie semantics" in reason
 
@@ -139,15 +143,16 @@ def test_aligner_route_counter_and_log(caplog):
     import jax
 
     m = Matrix.from_name("blosum62")
-    # open < ext forces the fallback regardless of backend
-    a = Aligner.new().matrix(m).gap_open(1).gap_extend(2).local().build()
+    # stats at open <= ext forces the fallback regardless of backend
+    a = (Aligner.new().matrix(m).gap_open(1).gap_extend(2).local()
+         .use_stats().build())
     before = sum(ROUTE_COUNTS.values())
     with caplog.at_level(logging.INFO, logger="parasail_rs_tpu"):
         a.align(b"ARNDARND", b"ARNDCARND")
     assert sum(a.route_counter.values()) == 1
     (route, reason), = a.route_counter.keys()
     assert route in ("wavefront", "stream")
-    assert "gap_open < gap_extend" in reason
+    assert "tie semantics" in reason
     assert sum(ROUTE_COUNTS.values()) == before + 1
     assert any("routed to" in r.message for r in caplog.records)
 

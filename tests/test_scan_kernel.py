@@ -597,3 +597,125 @@ def test_stream_seg_per_output_class(monkeypatch):
     monkeypatch.setenv("PT_STREAM_SEG", "512")
     assert disp.stream_seg("score") == 512
     assert disp.stream_seg("stats") == 512
+
+
+OPEN_LT_EXT = [(1, 3), (2, 5), (0, 1), (0, 0)]
+
+
+@pytest.mark.parametrize("open_,ext", OPEN_LT_EXT)
+def test_scan_open_lt_ext_matches_wavefront(open_, ext):
+    """gap_open < gap_extend (and 0/0): the vertical prefix scan runs at
+    slope min(open, ext) — the exact closed form of golden's E
+    recurrence — so score AND trace flags stay bit-exact on the scan
+    route (the wavefront implements the literal recurrence)."""
+    b = BATCH
+    for mode, free in CONFIGS:
+        ref = wavefront_align(
+            b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+            open_=np.int32(open_), ext=np.int32(ext), mode=mode, free=free,
+            outputs="score", width="32")
+        got = scan_score_align(
+            b.profile, b.ridx, b.qlen, b.rlen,
+            open_=np.int32(open_), ext=np.int32(ext), mode=mode, free=free,
+            width="32", interpret=INTERPRET)
+        for k in ("score", "end_query", "end_ref"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(ref[k]),
+                err_msg=f"{open_}/{ext}/{mode}/{free}/{k}")
+        rt = wavefront_align(
+            b.profile, b.qidx, b.ridx, b.qlen, b.rlen,
+            open_=np.int32(open_), ext=np.int32(ext), mode=mode, free=free,
+            outputs="trace", width="32")
+        gt = scan_score_align(
+            b.profile, b.ridx, b.qlen, b.rlen,
+            open_=np.int32(open_), ext=np.int32(ext), mode=mode, free=free,
+            width="32", outputs="trace", interpret=INTERPRET)
+        ga, ra = np.asarray(gt["trace_table"]), np.asarray(rt["trace_table"])
+        for i in range(0, b.size, 17):
+            ql, rl = int(b.qlen[i]), int(b.rlen[i])
+            np.testing.assert_array_equal(
+                ga[i, :ql, :rl], ra[i, :ql, :rl],
+                err_msg=f"trace {open_}/{ext}/{mode}/{free}/{i}")
+
+
+def test_scan_open_lt_ext_chunked_and_streamed():
+    """Cross-chunk (dPM) and cross-segment carries live in the A-domain,
+    whose slope is min(open, ext) — chunked queries and streamed
+    reference segments must stay exact at open < ext too."""
+    from parasail_rs_tpu.golden import model as golden
+    from parasail_rs_tpu.ops.scan_kernel import scan_score_segment
+
+    m = Matrix.create(b"ACGT", 2, -3)
+    rng = np.random.default_rng(23)
+    pairs, prows, qidxs, ridxs = [], [], [], []
+    for ql, rl in [(3000, 90), (2600, 64), (1, 1)] + [(48, 80)] * 125:
+        q = rng.choice(list(b"ACGT"), size=ql).astype("uint8").tobytes()
+        r = rng.choice(list(b"ACGT"), size=rl).astype("uint8").tobytes()
+        pairs.append((q, r))
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs.append(qi)
+        ridxs.append(ri)
+        prows.append(profile_rows(m, qi))
+    b = build_batch(prows, qidxs, ridxs, Qp=3072, Rp=96)
+    out = scan_score_align(
+        b.profile, b.ridx, b.qlen, b.rlen,
+        open_=np.int32(2), ext=np.int32(4), mode="nw", free=(False,) * 4,
+        width="32", outputs="trace", interpret=INTERPRET)
+    for i in (0, 1, 2, 3):
+        q, r = pairs[i]
+        g = golden.align_seqs(q, r, m, 2, 4, "nw")
+        assert int(out["score"][i]) == g.score, i
+        tt = np.asarray(out["trace_table"])[i, :len(q), :len(r)]
+        np.testing.assert_array_equal(tt, g.trace_table, err_msg=str(i))
+
+    # streamed segments, same A-domain carry across col_offset resumes
+    prows2, qidxs2, ridxs2 = [], [], []
+    for _ in range(128):
+        q = rng.choice(list(b"ACGT"),
+                       size=rng.integers(3, 48)).astype("uint8").tobytes()
+        r = rng.choice(list(b"ACGT"),
+                       size=rng.integers(3, 120)).astype("uint8").tobytes()
+        qi, ri = m.encode(q), m.encode(r)
+        qidxs2.append(qi)
+        ridxs2.append(ri)
+        prows2.append(profile_rows(m, qi))
+    b2 = build_batch(prows2, qidxs2, ridxs2, Rp=128)
+    ref = scan_score_align(
+        b2.profile, b2.ridx, b2.qlen, b2.rlen,
+        open_=np.int32(1), ext=np.int32(3), mode="sw", free=(True,) * 4,
+        width="32", interpret=INTERPRET)
+    state, out2 = None, None
+    for s0 in range(0, 128, 32):
+        out2, state = scan_score_segment(
+            b2.profile, b2.ridx[:, s0:s0 + 32], b2.qlen, b2.rlen, state,
+            open_=np.int32(1), ext=np.int32(3), mode="sw", free=(True,) * 4,
+            width="32", col_offset=np.int32(s0), resume=s0 > 0,
+            interpret=INTERPRET)
+    for k in ("score", "end_query", "end_ref"):
+        np.testing.assert_array_equal(
+            np.asarray(out2[k]), np.asarray(ref[k]), err_msg=k)
+
+
+def test_engine_open_lt_ext_pallas_route(monkeypatch):
+    """The engine serves open < ext on the scan route (forced Pallas =
+    interpret on CPU) with results identical to the wavefront route;
+    stats still plan to the wavefront (payload tie semantics)."""
+    from parasail_rs_tpu.engine import Aligner
+    from parasail_rs_tpu.engine.dispatch import pack_pairs, plan_route
+
+    m = Matrix.from_name("blosum62")
+    aligner = (Aligner.new().matrix(m).gap_open(1).gap_extend(3).local()
+               .use_trace().build())
+    qs = [b"MKVLAT", b"HEAGAWGHEE", b"PAWHEAE"]
+    rs = [b"MKVInnnLAT", b"PAWHEAE", b"HEAGAWGHEE"]
+    base = [(a.get_score(), a.get_cigar(q, r))
+            for a, q, r in zip(aligner.align_batch(qs, rs), qs, rs)]
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    via = [(a.get_score(), a.get_cigar(q, r))
+           for a, q, r in zip(aligner.align_batch(qs, rs), qs, rs)]
+    assert via == base
+    batch, _, _ = pack_pairs(m, qs, rs)
+    assert plan_route(batch, "score", 1, 3)[0] == "pallas"
+    assert plan_route(batch, "trace", 1, 3)[0] == "pallas"
+    route, reason = plan_route(batch, "stats", 1, 3)
+    assert route == "wavefront" and "tie semantics" in reason

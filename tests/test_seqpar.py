@@ -138,14 +138,22 @@ def test_seqpar_stats_vs_golden(mode, free):
         assert int(out["length"][b]) == g.length, (mode, free, b)
 
 
-def test_seqpar_rejects_gap_contract_violations():
+def test_seqpar_open_lt_ext_vs_golden():
+    # value outputs are exact for any penalty pair (min(open, ext) slope
+    # in the cross-chunk PM carry); stats keep the strict > contract
     import pytest
 
     m, pairs, prof, ridx, qlen, rlen = PROBLEM
-    with pytest.raises(ValueError):
-        seqpar_align(prof, ridx, qlen, rlen, open_=1, ext=2, mesh=MESH,
-                     mode="sw", q_chunk=32)
+    out = seqpar_align(prof, ridx, qlen, rlen, open_=1, ext=2, mesh=MESH,
+                       mode="sw", q_chunk=32)
+    for b, (q, r) in enumerate(pairs):
+        g = golden.align_seqs(q, r, m, 1, 2, "sw")
+        assert int(out["score"][b]) == g.score, b
+        assert int(out["end_query"][b]) == g.end_query
+        assert int(out["end_ref"][b]) == g.end_ref
     qidx = np.zeros((prof.shape[0], prof.shape[2]), np.int32)
-    with pytest.raises(ValueError):
-        seqpar_align(prof, ridx, qlen, rlen, qidx, open_=2, ext=2,
-                     mesh=MESH, mode="sw", q_chunk=32, outputs="stats")
+    for open_, ext in [(2, 2), (1, 2)]:
+        with pytest.raises(ValueError):
+            seqpar_align(prof, ridx, qlen, rlen, qidx, open_=open_,
+                         ext=ext, mesh=MESH, mode="sw", q_chunk=32,
+                         outputs="stats")

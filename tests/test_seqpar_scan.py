@@ -179,13 +179,18 @@ def test_seqpar_scan_fits_gates():
     # trace HBM gate: per-device flag shard beyond 4GB declines
     assert seqpar_scan_fits(256, 1 << 14, 8, "trace", 4, Qp=1 << 14)
     assert not seqpar_scan_fits(256, 1 << 20, 8, "trace", 4, Qp=1 << 19)
-    # gap exactness contract, when penalties are provided
-    assert not seqpar_scan_fits(256, 2048, 8, "score", 4,
-                                gap_open=1, gap_extend=2)
+    # gap contract: value outputs fit any penalty pair; stats need
+    # strict open > ext (payload tie semantics)
+    assert seqpar_scan_fits(256, 2048, 8, "score", 4,
+                            gap_open=1, gap_extend=2)
     assert not seqpar_scan_fits(256, 2048, 8, "stats", 4,
                                 gap_open=2, gap_extend=2)
+    assert not seqpar_scan_fits(256, 2048, 8, "stats", 4,
+                                gap_open=1, gap_extend=2)
     assert seqpar_scan_fits(256, 2048, 8, "score", 4,
                             gap_open=2, gap_extend=2)
+    assert seqpar_scan_fits(256, 2048, 8, "stats", 4,
+                            gap_open=3, gap_extend=2)
 
 
 def test_seqpar_scan_rejects_bad_configs():
@@ -194,6 +199,21 @@ def test_seqpar_scan_rejects_bad_configs():
         seqpar_align_scan(prof, ridx, qlen, rlen, open_=5, ext=1,
                           mesh=MESH, mode="sw", q_chunk=64,
                           outputs="stats")
-    with pytest.raises(ValueError):   # outside the gap contract
-        seqpar_align_scan(prof, ridx, qlen, rlen, open_=1, ext=2,
-                          mesh=MESH, mode="sw", q_chunk=64)
+    with pytest.raises(ValueError):   # stats outside the tie contract
+        seqpar_align_scan(prof, ridx, qlen, rlen, qidx, open_=1, ext=2,
+                          mesh=MESH, mode="sw", q_chunk=64,
+                          outputs="stats")
+
+
+def test_seqpar_scan_open_lt_ext_vs_golden():
+    # the rowseg PM seed and down-state carries run at slope
+    # min(open, ext) — exact for any penalties on value outputs
+    m, pairs, prof, qidx, ridx, qlen, rlen = PROBLEM
+    out = seqpar_align_scan(
+        prof, ridx, qlen, rlen, open_=1, ext=2, mesh=MESH,
+        mode="nw", q_chunk=64)
+    for b, (q, r) in enumerate(pairs):
+        g = golden.align_seqs(q, r, m, 1, 2, "nw")
+        assert int(out["score"][b]) == g.score, b
+        assert int(out["end_query"][b]) == g.end_query
+        assert int(out["end_ref"][b]) == g.end_ref
