@@ -103,7 +103,7 @@ def _classes(outputs):
     return want_trace, want_stats, want_table, want_rowcol
 
 
-def _plan(Qp, Rp, outputs, npk=None, stream=False):
+def _plan(Qp, Rp, outputs, npk=None, stream=False, rowseg=False):
     """(Qc, nq, Jt, nj) tile plan, or None if nothing fits VMEM.
 
     The chunk size adapts: the whole query in one chunk when its state
@@ -122,28 +122,33 @@ def _plan(Qp, Rp, outputs, npk=None, stream=False):
     nplanes = 4 if want_stats else 1
     # The scalar-stats class packs [m|s|l] into one plane when the bit
     # fields fit (stats_pack_params) and its E-prefix carries ONE
-    # payload; unpacked stats (streamed segments, large spans, table/
-    # rowcol classes) carry three payload planes through the log2(Qc)
-    # prefix steps — a much larger live set at the loop's peak
-    # (measured: Mosaic scoped-stack OOM at Qc=256 on a 16k-query
-    # streamed stats plan that the live=20 model accepted by 124 KB).
-    packed_stats = (want_stats and not stream
-                    and not (want_table or want_rowcol)
-                    and stats_pack_params(Qp, Rp)[0])
+    # payload; the pair-packed mode ([m|s] fused, l separate —
+    # stats_pack2_params) serves streamed/large-span scalar stats with
+    # two payloads; fully unpacked stats (table/rowcol classes, rowseg,
+    # queries beyond the pack2 fields) carry three payload planes
+    # through the log2(Qc) prefix steps — a much larger live set at the
+    # loop's peak (measured: Mosaic scoped-stack OOM at Qc=256 on a
+    # 16k-query streamed stats plan that the live=20 model accepted by
+    # 124 KB).
+    packed_stats, pack2_stats, nms = stats_layout(
+        Qp, Rp, outputs, stream=stream, rowseg=rowseg)
+    packed_stats = packed_stats and not stream
 
     def try_qc(Qc):
         nq = Qp // Qc
         Rpad = (Rp + 7) // 8 * 8
         ndown = 0 if nq == 1 else (
-            3 if want_trace else (8 if want_stats else 2))
-        # +4 candidate/saturation tracker planes (+3 stats-at-best; the
+            3 if want_trace else
+            ((2 * nms + 4) if want_stats else 2))
+        # +4 candidate/saturation tracker planes (+stats-at-best; the
         # packed-stats mode uses fewer — counted unpacked, conservative)
-        nstate = 2 + (6 if want_stats else 0) \
+        nstate = 2 + ((2 * nms + 2) if want_stats else 0) \
             + (nplanes if want_rowcol else 0) \
-            + 4 + (3 if want_stats else 0)
+            + 4 + ((nms + 1) if want_stats else 0)
         # ~live column-loop temporaries (H/E/F/htemp/prefix slabs),
         # measured against Mosaic's scoped-stack accounting
-        live = ((20 if packed_stats else 43) if want_stats else 12)
+        live = ((20 if packed_stats else (34 if pack2_stats else 43))
+                if want_stats else 12)
         fixed = ((nstate + live) * Qc * LANES * 4 + ndown * Rpad * LANES * 4
                  + (2 * nplanes * Qc * LANES * 4 if want_rowcol else 0)
                  + (9 + nplanes) * LANES * 4)
@@ -376,6 +381,43 @@ def stats_pack_params(qp_total, rlen_total, resume=False, stream=False):
     return True, bm + bl, bl, qp_total
 
 
+def stats_pack2_params(qp_total, rowseg=False):
+    """Bit-field layout for the PAIR-packed stats mode: [m | s] in ONE
+    int32 plane, the length accumulator separate.
+
+    m and s only grow on diagonal steps, so both are bounded by qlen <=
+    qp_total — independent of the reference length.  Unlike the full
+    [m|s|l] pack (:func:`stats_pack_params`, whose l field grows with
+    qlen+rlen), this serves STREAMED segments and chunked long queries:
+    stats carries drop 6 -> 4 planes, E-prefix payloads 3 -> 2, and the
+    chunk down-state 8 -> 6 planes.  rowseg keeps the unpacked layout
+    (its down/resume refs cross the shard_map boundary with a fixed
+    6-plane contract).  Returns (pack2, SH2) — fused = (m << SH2) | s.
+    """
+    if rowseg:
+        return False, 0
+    b = max(1, int(qp_total).bit_length())
+    if 2 * b > 31:
+        return False, 0
+    return True, b
+
+
+def stats_layout(qp_total, rlen_total, outputs, resume=False, stream=False,
+                 rowseg=False):
+    """Static stats-plane layout shared by the kernel body and the
+    wrappers that allocate its refs: (packed, pack2, nms) where ``nms``
+    is the number of m/s carry planes (1 fused, 2 separate).  Scalar
+    counts derive from it: stats carries = 2*nms+2 (or 2 packed), htop
+    rows = nms+2 (or 2 packed), chunk down-state = 2*nms+2 (or 2)."""
+    want_trace, want_stats, want_table, want_rowcol = _classes(outputs)
+    scalar = want_stats and not (want_table or want_rowcol)
+    packed = scalar and stats_pack_params(
+        qp_total, rlen_total, resume, stream)[0]
+    pack2 = (scalar and not packed
+             and stats_pack2_params(qp_total, rowseg)[0])
+    return packed, pack2, (1 if pack2 else 2)
+
+
 def cand_pack_params(rlen_total, hmax_bound, banded=False, resume=False,
                      stream=False):
     """Bit-field layout for packing the end-cell candidate trackers
@@ -438,6 +480,13 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
     # table/rowcol classes write the separate stats planes per column, so
     # only the scalar-stats class benefits from packing
     packed = packed and want_stats and not (want_table or want_rowcol)
+    # pair-packed fallback: [m|s] fused + separate l (stats carries and
+    # payloads shrink; streamed/chunked-eligible).  nms = m/s plane count.
+    pack2 = (want_stats and not packed and not (want_table or want_rowcol)
+             and stats_pack2_params(qp_total, rowseg)[0])
+    nms = 1 if pack2 else 2
+    SH2 = stats_pack2_params(qp_total, rowseg)[1]
+    MS_MASK = (1 << SH2) - 1 if SH2 else 0
     pack_cand, SHJ, PJ = cand_pack_params(
         rlen_total, hmax_bound, banded, resume, stream)
     # Local-mode H is clamped at 0, so the running candidate max IS the
@@ -465,7 +514,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             fin_ref = refs.pop(0)
             tin_ref = refs.pop(0)
             ain_ref = refs.pop(0)
-            sin_refs = ([refs.pop(0) for _ in range(6)]
+            sin_refs = ([refs.pop(0) for _ in range(2 * nms + 2)]
                         if want_stats else [])
         if rowseg:
             # down-state of the row chunk above, one value per column:
@@ -474,20 +523,20 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             dinh_ref = refs.pop(0)
             dinp_ref = refs.pop(0)
             dine_ref = refs.pop(0) if want_trace else None
-            dins_refs = ([refs.pop(0) for _ in range(6)]
+            dins_refs = ([refs.pop(0) for _ in range(2 * nms + 2)]
                          if want_stats else [])
         out_ref = refs.pop(0)
         if stream:
             hout_ref = refs.pop(0)
             fout_ref = refs.pop(0)
             tout_ref = refs.pop(0)
-            sout_refs = ([refs.pop(0) for _ in range(6)]
+            sout_refs = ([refs.pop(0) for _ in range(2 * nms + 2)]
                          if want_stats else [])
         if rowseg:
             douth_ref = refs.pop(0)
             doutp_ref = refs.pop(0)
             doute_ref = refs.pop(0) if want_trace else None
-            douts_refs = ([refs.pop(0) for _ in range(6)]
+            douts_refs = ([refs.pop(0) for _ in range(2 * nms + 2)]
                           if want_stats else [])
         trace_ref = refs.pop(0) if want_trace else None
         tab_refs = [refs.pop(0) for _ in range(nplanes)] if want_table else []
@@ -497,10 +546,14 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         if want_stats and packed:
             # one packed [m|s|l+OFFL] plane each for H-stats and F-stats
             hm, fm = refs.pop(0), refs.pop(0)
-            hs = hl = fs = fl = None
+            h_ms = f_ms = hl = fl = None
         elif want_stats:
-            hm, hs, hl = refs.pop(0), refs.pop(0), refs.pop(0)
-            fm, fs, fl = refs.pop(0), refs.pop(0), refs.pop(0)
+            # nms m/s planes ([m|s] fused when pack2) + the l plane
+            h_ms = [refs.pop(0) for _ in range(nms)]
+            hl = refs.pop(0)
+            f_ms = [refs.pop(0) for _ in range(nms)]
+            fl = refs.pop(0)
+            hm = fm = None
         col_scratch = [refs.pop(0) for _ in range(nplanes)] if want_rowcol else []
         htop_scr = refs.pop(0)
         if chunked:
@@ -508,10 +561,13 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             dE = refs.pop(0) if want_trace else None
             if want_stats and packed:
                 dHm, dPMm = refs.pop(0), refs.pop(0)
-                dHs = dHl = dPMs = dPMl = None
+                dH_ms = dHl = dPM_ms = dPMl = None
             elif want_stats:
-                dHm, dHs, dHl = refs.pop(0), refs.pop(0), refs.pop(0)
-                dPMm, dPMs, dPMl = refs.pop(0), refs.pop(0), refs.pop(0)
+                dH_ms = [refs.pop(0) for _ in range(nms)]
+                dHl = refs.pop(0)
+                dPM_ms = [refs.pop(0) for _ in range(nms)]
+                dPMl = refs.pop(0)
+                dHm = dPMm = None
         acc = refs.pop(0)
 
         open_ = gaps_ref[0]
@@ -578,7 +634,9 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 fprev[:] = fin_ref[0, 0]
                 htop_scr[:] = tin_ref[0, 0]
                 if want_stats:
-                    for dst, src in zip((hm, hs, hl, fm, fs, fl), sin_refs):
+                    planes = ((hm, fm) if packed else
+                              (*h_ms, hl, *f_ms, fl))
+                    for dst, src in zip(planes, sin_refs):
                         dst[:] = src[0, 0]
                 return
             # Bordered left column H[i+1][0] of this chunk's rows.
@@ -599,16 +657,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 fm[:] = jnp.full((Qc, LANES), OFFL, I32)
             elif want_stats:
                 left_l = jnp.int32(0) if (db or local) else r0
-                htop_scr[1:2, :] = jnp.zeros((1, LANES), I32)
-                htop_scr[2:3, :] = jnp.zeros((1, LANES), I32)
-                htop_scr[3:4, :] = jnp.full((1, LANES), 1, I32) * left_l
-                hm[:] = jnp.zeros((Qc, LANES), I32)
-                hs[:] = jnp.zeros((Qc, LANES), I32)
+                for k in range(nms):
+                    htop_scr[1 + k:2 + k, :] = jnp.zeros((1, LANES), I32)
+                htop_scr[1 + nms:2 + nms, :] = \
+                    jnp.full((1, LANES), 1, I32) * left_l
+                for p in h_ms + f_ms:
+                    p[:] = jnp.zeros((Qc, LANES), I32)
                 # golden: boundary Hl[i][0] = i (bordered), 0 when free
                 hl[:] = (jnp.zeros((Qc, LANES), I32)
                          if (db or local) else ig + 1)
-                fm[:] = jnp.zeros((Qc, LANES), I32)
-                fs[:] = jnp.zeros((Qc, LANES), I32)
                 fl[:] = jnp.zeros((Qc, LANES), I32)
             for cs in col_scratch:
                 cs[:] = jnp.zeros((Qc, LANES), I32)
@@ -625,7 +682,8 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             "hp": hprev[:], "fp": fprev[:],
             "htop": tuple(htop_scr[r:r + 1, :] for r in range(nhrows)),
             "stats": ((hm[:], fm[:]) if (want_stats and packed) else
-                      (hm[:], hs[:], hl[:], fm[:], fs[:], fl[:])
+                      (*(p[:] for p in h_ms), hl[:],
+                       *(p[:] for p in f_ms), fl[:])
                       if want_stats else ()),
             "colcap": tuple(cs[:] for cs in col_scratch),
             "cand": ((jnp.full((Qc, LANES), neg, I32),) if pack_cand else
@@ -635,7 +693,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                         jnp.zeros((Qc, LANES), I32))
                        if track_sat else ())
                     + (((jnp.zeros((Qc, LANES), I32),) if packed else
-                        (jnp.zeros((Qc, LANES), I32),) * 3)
+                        (jnp.zeros((Qc, LANES), I32),) * (nms + 1))
                        if want_stats else ()),
         }
 
@@ -727,51 +785,55 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 # model.py:166-211); E stats ride the prefix scan as
                 # payloads of the winning origin row — exact for
                 # open > ext (gap-restart ties are impossible then).
+                # pack2 fuses matches|similar into ONE [m|s] plane
+                # (stats_pack2_params): identical selects, one plane.
                 qidx_c = qidx_ref[0, :, :]                    # (Qc, LANES)
                 ridx_c = ridx_ref[0, pl.ds(jj, 1), :]         # (1, LANES)
                 im = (qidx_c == ridx_c).astype(I32)
-                hm_p, hs_p, hl_p = st["stats"][0:3]
+                simv = (s > 0).astype(I32)
+                ms_p = st["stats"][:nms]
+                hl_p = st["stats"][nms]
+                fms_p = st["stats"][nms + 1:2 * nms + 1]
+                fl_p = st["stats"][2 * nms + 1]
                 # diagonal-predecessor stats at the chunk's top row come
                 # from the column carry (boundary values for the top
                 # chunk, the previous chunk's last row otherwise)
-                m_d = jnp.where(pmasks[0], htop_rows[1],
-                                _roll1(hm_p, 1))
-                s_d = jnp.where(pmasks[0], htop_rows[2],
-                                _roll1(hs_p, 1))
-                l_d = jnp.where(pmasks[0], htop_rows[3],
-                                _roll1(hl_p, 1))
-                Dm = m_d + im
-                Ds = s_d + (s > 0).astype(I32)
-                Dl = l_d + 1
-                Fm = jnp.where(from_open_f, hm_p, st["stats"][3])
-                Fs = jnp.where(from_open_f, hs_p, st["stats"][4])
-                Fl = jnp.where(from_open_f, hl_p, st["stats"][5]) + 1
+                incs = ([(im << SH2) + simv] if pack2 else [im, simv])
+                D_ms = [jnp.where(pmasks[0], htop_rows[1 + k],
+                                  _roll1(ms_p[k], 1)) + incs[k]
+                        for k in range(nms)]
+                Dl = jnp.where(pmasks[0], htop_rows[1 + nms],
+                               _roll1(hl_p, 1)) + 1
+                F_ms = [jnp.where(from_open_f, ms_p[k], fms_p[k])
+                        for k in range(nms)]
+                Fl = jnp.where(from_open_f, hl_p, fl_p) + 1
                 # Htemp stats: which of diag/F won (clamp resets later)
                 t_diag = diag >= F
-                Tm = jnp.where(t_diag, Dm, Fm)
-                Ts = jnp.where(t_diag, Ds, Fs)
+                T_ms = [jnp.where(t_diag, D_ms[k], F_ms[k])
+                        for k in range(nms)]
                 Tlm = jnp.where(t_diag, Dl, Fl) - ig   # "l minus k" payload
                 if local:
                     zt = htemp == 0
-                    Tm = jnp.where(zt, 0, Tm)
-                    Ts = jnp.where(zt, 0, Ts)
+                    T_ms = [jnp.where(zt, 0, t) for t in T_ms]
                     Tlm = jnp.where(zt, -ig, Tlm)
                 seed_l = (jnp.int32(0) if (qb or local) else j + 1) + 1
                 if chunked:
                     z1 = jnp.zeros((1, LANES), I32)
-                    sm = jnp.where(tq == 0, z1, dPMm[pl.ds(jl, 1), :])
-                    ss_ = jnp.where(tq == 0, z1, dPMs[pl.ds(jl, 1), :])
-                    sl = jnp.where(tq == 0, seed_l + z1,
-                                   dPMl[pl.ds(jl, 1), :])
-                    seeds = (sm, ss_, sl)
+                    seeds = tuple(
+                        jnp.where(tq == 0, z1, dPM_ms[k][pl.ds(jl, 1), :])
+                        for k in range(nms)) + (
+                        jnp.where(tq == 0, seed_l + z1,
+                                  dPMl[pl.ds(jl, 1), :]),)
                 elif rowseg:
-                    seeds = (dins_refs[3][0, pl.ds(jj, 1), :],
-                             dins_refs[4][0, pl.ds(jj, 1), :],
-                             dins_refs[5][0, pl.ds(jj, 1), :])
+                    seeds = tuple(
+                        dins_refs[nms + 1 + k][0, pl.ds(jj, 1), :]
+                        for k in range(nms + 1))
                 else:
-                    seeds = (jnp.int32(0), jnp.int32(0), seed_l)
-                pm, (Em, Es, Elm) = _prefix_argmax_exclusive(
-                    a, (Tm, Ts, Tlm), pmasks, seed, seeds)
+                    seeds = (jnp.int32(0),) * nms + (seed_l,)
+                pm, epay = _prefix_argmax_exclusive(
+                    a, (*T_ms, Tlm), pmasks, seed, seeds)
+                E_ms = list(epay[:nms])
+                Elm = epay[nms]
                 E = pm - e_base
                 El = Elm + ig
             else:
@@ -790,15 +852,15 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             elif want_stats:
                 take_diag = (diag >= E) & (diag >= F)
                 take_e = (~take_diag) & (E >= F)
-                Hm = jnp.where(take_diag, Dm, jnp.where(take_e, Em, Fm))
-                Hs = jnp.where(take_diag, Ds, jnp.where(take_e, Es, Fs))
+                H_ms = [jnp.where(take_diag, D_ms[k],
+                                  jnp.where(take_e, E_ms[k], F_ms[k]))
+                        for k in range(nms)]
                 Hl = jnp.where(take_diag, Dl, jnp.where(take_e, El, Fl))
                 if local:
                     z = H <= 0
-                    Hm = jnp.where(z, 0, Hm)
-                    Hs = jnp.where(z, 0, Hs)
+                    H_ms = [jnp.where(z, 0, h) for h in H_ms]
                     Hl = jnp.where(z, 0, Hl)
-                new_stats = (Hm, Hs, Hl, Fm, Fs, Fl)
+                new_stats = (*H_ms, Hl, *F_ms, Fl)
 
             if want_trace:
                 # Trace flags by the Gotoh comparisons, bit-identical to
@@ -845,16 +907,16 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 ones1 = jnp.ones((1, LANES), I32)
                 top_l1 = (jnp.int32(0) if (qb or local) else j + 1) * ones1
                 if chunked:
-                    new_htop += (
-                        jnp.where(tq == 0, 0 * ones1, dHm[pl.ds(jl, 1), :]),
-                        jnp.where(tq == 0, 0 * ones1, dHs[pl.ds(jl, 1), :]),
-                        jnp.where(tq == 0, top_l1, dHl[pl.ds(jl, 1), :]))
+                    new_htop += tuple(
+                        jnp.where(tq == 0, 0 * ones1,
+                                  dH_ms[k][pl.ds(jl, 1), :])
+                        for k in range(nms)) + (
+                        jnp.where(tq == 0, top_l1, dHl[pl.ds(jl, 1), :]),)
                 elif rowseg:
-                    new_htop += (dins_refs[0][0, pl.ds(jj, 1), :],
-                                 dins_refs[1][0, pl.ds(jj, 1), :],
-                                 dins_refs[2][0, pl.ds(jj, 1), :])
+                    new_htop += tuple(dins_refs[k][0, pl.ds(jj, 1), :]
+                                      for k in range(nms + 1))
                 else:
-                    new_htop += (0 * ones1, 0 * ones1, top_l1)
+                    new_htop += (0 * ones1,) * nms + (top_l1,)
             if chunked:
                 dH[pl.ds(jl, 1), :] = H[Qc - 1:Qc, :]
                 if want_stats and packed:
@@ -875,14 +937,13 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     prev = pm[Qc - 1:Qc, :]
                     take_last = lastA >= prev
                     dPM[pl.ds(jl, 1), :] = jnp.where(take_last, lastA, prev)
-                    dPMm[pl.ds(jl, 1), :] = jnp.where(
-                        take_last, Tm[Qc - 1:Qc, :], Em[Qc - 1:Qc, :])
-                    dPMs[pl.ds(jl, 1), :] = jnp.where(
-                        take_last, Ts[Qc - 1:Qc, :], Es[Qc - 1:Qc, :])
+                    for k in range(nms):
+                        dPM_ms[k][pl.ds(jl, 1), :] = jnp.where(
+                            take_last, T_ms[k][Qc - 1:Qc, :],
+                            E_ms[k][Qc - 1:Qc, :])
+                        dH_ms[k][pl.ds(jl, 1), :] = H_ms[k][Qc - 1:Qc, :]
                     dPMl[pl.ds(jl, 1), :] = jnp.where(
                         take_last, Tlm[Qc - 1:Qc, :], Elm[Qc - 1:Qc, :])
-                    dHm[pl.ds(jl, 1), :] = Hm[Qc - 1:Qc, :]
-                    dHs[pl.ds(jl, 1), :] = Hs[Qc - 1:Qc, :]
                     dHl[pl.ds(jl, 1), :] = Hl[Qc - 1:Qc, :]
                 else:
                     dPM[pl.ds(jl, 1), :] = jnp.maximum(
@@ -899,14 +960,14 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                     take_last = lastA >= prev
                     doutp_ref[0, pl.ds(jj, 1), :] = jnp.where(
                         take_last, lastA, prev)
-                    douts_refs[0][0, pl.ds(jj, 1), :] = Hm[Qc - 1:Qc, :]
-                    douts_refs[1][0, pl.ds(jj, 1), :] = Hs[Qc - 1:Qc, :]
-                    douts_refs[2][0, pl.ds(jj, 1), :] = Hl[Qc - 1:Qc, :]
-                    douts_refs[3][0, pl.ds(jj, 1), :] = jnp.where(
-                        take_last, Tm[Qc - 1:Qc, :], Em[Qc - 1:Qc, :])
-                    douts_refs[4][0, pl.ds(jj, 1), :] = jnp.where(
-                        take_last, Ts[Qc - 1:Qc, :], Es[Qc - 1:Qc, :])
-                    douts_refs[5][0, pl.ds(jj, 1), :] = jnp.where(
+                    for k in range(nms):
+                        douts_refs[k][0, pl.ds(jj, 1), :] = \
+                            H_ms[k][Qc - 1:Qc, :]
+                        douts_refs[nms + 1 + k][0, pl.ds(jj, 1), :] = \
+                            jnp.where(take_last, T_ms[k][Qc - 1:Qc, :],
+                                      E_ms[k][Qc - 1:Qc, :])
+                    douts_refs[nms][0, pl.ds(jj, 1), :] = Hl[Qc - 1:Qc, :]
+                    douts_refs[2 * nms + 1][0, pl.ds(jj, 1), :] = jnp.where(
                         take_last, Tlm[Qc - 1:Qc, :], Elm[Qc - 1:Qc, :])
                 else:
                     doutp_ref[0, pl.ds(jj, 1), :] = jnp.maximum(
@@ -917,7 +978,8 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             inseq = imask & (j < rlen)
             # packed stats never serve table/rowcol, so the separate
             # plane list only exists in the unpacked branches
-            planes = [H] if (not want_stats or packed) else [H, Hm, Hs, Hl]
+            planes = ([H] if (not want_stats or packed) else
+                      [H, *H_ms, Hl])
             if want_table:
                 for tref, P in zip(tab_refs, planes):
                     tref[0, jj, :, :] = P
@@ -952,7 +1014,17 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             last_row = ig == qlen - 1
             last_col = j == rlen - 1
             if local:
-                sel_c = inseq & (H > 0)
+                if pack_cand and not want_stats:
+                    # candidate-update fusion: drop the H > 0 term.  An
+                    # H == 0 cell's packed candidate decodes to cb == 0,
+                    # which only wins when NO positive cell exists — and
+                    # the readout's empty clamp (best <= 0 -> score and
+                    # ends 0) already owns that case, so results are
+                    # identical.  Saves a compare+and per column
+                    # (A/B ledger: PERFORMANCE.md).
+                    sel_c = inseq
+                else:
+                    sel_c = inseq & (H > 0)
             elif mode == "sg":
                 sel = last_row & last_col
                 if qe:
@@ -976,9 +1048,9 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
             if want_stats and packed:
                 cand[ci] = jnp.where(upd, H_msl, cand[ci])
             elif want_stats:
-                cand[ci] = jnp.where(upd, Hm, cand[ci])
-                cand[ci + 1] = jnp.where(upd, Hs, cand[ci + 1])
-                cand[ci + 2] = jnp.where(upd, Hl, cand[ci + 2])
+                for k in range(nms):
+                    cand[ci + k] = jnp.where(upd, H_ms[k], cand[ci + k])
+                cand[ci + nms] = jnp.where(upd, Hl, cand[ci + nms])
             return {
                 "hp": H, "fp": F, "htop": new_htop,
                 "stats": new_stats if want_stats else (),
@@ -998,7 +1070,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         if want_stats and packed:
             hm[:], fm[:] = stf["stats"]
         elif want_stats:
-            for dst, val in zip((hm, hs, hl, fm, fs, fl), stf["stats"]):
+            for dst, val in zip((*h_ms, hl, *f_ms, fl), stf["stats"]):
                 dst[:] = val
         for cs, val in zip(col_scratch, stf["colcap"]):
             cs[:] = val
@@ -1040,9 +1112,18 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
         elif want_stats:
             pick = lambda k: jnp.where(selrow, candf[k], 0).sum(
                 axis=0, keepdims=True)
-            acc[5:6, :] = jnp.where(better, pick(ci), acc[5:6, :])
-            acc[6:7, :] = jnp.where(better, pick(ci + 1), acc[6:7, :])
-            acc[7:8, :] = jnp.where(better, pick(ci + 2), acc[7:8, :])
+            if pack2:
+                # decode the fused [m|s] field here so the acc layout
+                # (m, s, l rows) is identical across stats modes
+                ms = pick(ci)
+                m_v = jnp.right_shift(ms, SH2)
+                s_v = jnp.bitwise_and(ms, MS_MASK)
+                l_v = pick(ci + 1)
+            else:
+                m_v, s_v, l_v = pick(ci), pick(ci + 1), pick(ci + 2)
+            acc[5:6, :] = jnp.where(better, m_v, acc[5:6, :])
+            acc[6:7, :] = jnp.where(better, s_v, acc[6:7, :])
+            acc[7:8, :] = jnp.where(better, l_v, acc[7:8, :])
         if track_sat:
             if detect8:
                 hit8 = ((candf[si] >= WIDTH_MAX["8"]) |
@@ -1077,7 +1158,7 @@ def _make_kernel(Qc, nq, Jt, nj, mode, free, width, rlen_total, qp_total,
                 fout_ref[0, 0] = fprev[:]
                 tout_ref[0, 0] = htop_scr[:]
                 if want_stats:
-                    for dst, src in zip(sout_refs, (hm, hs, hl, fm, fs, fl)):
+                    for dst, src in zip(sout_refs, (*h_ms, hl, *f_ms, fl)):
                         dst[0, 0] = src[:]
 
         @pl.when((tq == nq - 1) & (jblk == nj - 1))
@@ -1344,20 +1425,20 @@ def scan_score_align(
                 pl.BlockSpec((1, Qc, LANES), lambda b, t, j: (b, t, 0),
                              memory_space=pltpu.VMEM))
 
-    packed = (want_stats and not (want_table or want_rowcol)
-              and stats_pack_params(Qp, Rp)[0])
+    packed, pack2, nms = stats_layout(Qp, Rp, outputs)
+    nstats = 0 if not want_stats else (2 if packed else 2 * nms + 2)
     scratch = [
         pltpu.VMEM((Qc, LANES), I32),      # hprev
         pltpu.VMEM((Qc, LANES), I32),      # fprev
     ]
     if want_stats:
-        # packed mode folds (m, s, l) into one plane each for H/F stats
-        scratch += [pltpu.VMEM((Qc, LANES), I32)
-                    for _ in range(2 if packed else 6)]
+        # packed folds (m, s, l) into one plane each for H/F stats;
+        # pack2 folds [m|s] (l separate): 4 planes instead of 6
+        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(nstats)]
     if want_rowcol:
         scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(nplanes)]
     scratch.append(pltpu.VMEM(
-        ((2 if packed else 4) if want_stats else 1, LANES),
+        ((2 if packed else nms + 2) if want_stats else 1, LANES),
         I32))    # htop carry
     if chunked:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),    # dH
@@ -1366,7 +1447,7 @@ def scan_score_align(
             scratch.append(pltpu.VMEM((Rpad, LANES), I32))  # dE
         if want_stats:
             scratch += [pltpu.VMEM((Rpad, LANES), I32)
-                        for _ in range(2 if packed else 6)]
+                        for _ in range(nstats)]
     scratch.append(pltpu.VMEM((8, LANES), I32))    # acc
 
     res = pl.pallas_call(
@@ -1489,7 +1570,8 @@ def scan_score_segment(
     plan = _plan(Qp, Rseg, outputs, npk=npk, stream=True)
     assert plan is not None
     Qc, nq, Jt, nj = plan
-    TROWS = 4 if want_stats else 1
+    _, _pack2, _nms = stats_layout(Qp, Rseg, outputs, stream=True)
+    TROWS = (_nms + 2) if want_stats else 1
 
     qlen_b = qlen.reshape(nb, 1, LANES)
     rlen_b = rlen.reshape(nb, 1, LANES)
@@ -1547,7 +1629,7 @@ def scan_score_segment(
         memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((1, 8, LANES), lambda b, t, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    nstate = 6 if want_stats else 0
+    nstate = (2 * _nms + 2) if want_stats else 0
     if resume:
         inputs += [state["h"], state["f"], state["t"], state["acc"]]
         in_specs += [chunk_spec, chunk_spec, carry_spec, acc_spec]
@@ -1575,7 +1657,7 @@ def scan_score_segment(
         pltpu.VMEM((Qc, LANES), I32),      # fprev
     ]
     if want_stats:
-        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(6)]
+        scratch += [pltpu.VMEM((Qc, LANES), I32) for _ in range(nstate)]
     scratch.append(pltpu.VMEM((TROWS, LANES), I32))  # htop carry
     if nq > 1:
         scratch += [pltpu.VMEM((Rpad, LANES), I32),
@@ -1583,7 +1665,8 @@ def scan_score_segment(
         if want_trace:
             scratch.append(pltpu.VMEM((Rpad, LANES), I32))   # dE
         if want_stats:
-            scratch += [pltpu.VMEM((Rpad, LANES), I32) for _ in range(6)]
+            scratch += [pltpu.VMEM((Rpad, LANES), I32)
+                        for _ in range(nstate)]
     scratch.append(pltpu.VMEM((8, LANES), I32))
 
     res = pl.pallas_call(
@@ -1602,7 +1685,7 @@ def scan_score_segment(
     acc_dev, hout, fout, tout = res[0], res[1], res[2], res[3]
     new_state = {"h": hout, "f": fout, "t": tout, "acc": acc_dev}
     if want_stats:
-        new_state["stats"] = tuple(res[4:10])
+        new_state["stats"] = tuple(res[4:4 + nstate])
 
     acc = acc_dev.transpose(0, 2, 1).reshape(B, 8)
     best, bi, bj = acc[:, 0], acc[:, 1], acc[:, 2]
@@ -1644,7 +1727,8 @@ def scan_score_segment(
 def rowseg_plan(q_chunk, C, outputs, A):
     """(Jt, nj) column tiling for a seqpar rowseg tile, or None if the
     (q_chunk x C) tile cannot run as ONE unchunked kernel call."""
-    plan = _plan(q_chunk, C, outputs, npk=_npk(A), stream=True)
+    plan = _plan(q_chunk, C, outputs, npk=_npk(A), stream=True,
+                 rowseg=True)
     if plan is None or plan[0] != q_chunk or plan[1] != 1:
         return None
     return plan[2], plan[3]
