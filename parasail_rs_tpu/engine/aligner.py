@@ -23,6 +23,7 @@ from ..errors import InteriorNulByte, NoBandwidth, NoTrace, QueryRequired
 from ..golden.model import free_flags
 from ..matrices import Matrix
 from ..ops.specs import KernelKey
+from ..utils import stages
 from ..utils.gcpause import gc_pause
 from . import dispatch
 from .profile import Profile
@@ -314,7 +315,7 @@ class Aligner:
         f_un = self._flags(False)
         mk, pf = Alignment, PairFields
         matrix, free, mode = self.matrix, self.key.free, self.key.mode
-        with gc_pause(n):
+        with stages.stage("build"), gc_pause(n):
             return [
                 mk(fields=pf(cols, big, b, qlens[b], rlens[b]),
                    flags=f_sat if sat_l[b] else f_un,

@@ -22,6 +22,7 @@ from collections import Counter
 import numpy as np
 
 from ..ops.wavefront import wavefront_align
+from ..utils import stages
 from ..utils.gcpause import gc_pause
 from ..utils.shapes import length_bucket
 
@@ -190,7 +191,7 @@ def pack_pairs(
     Returns (batch, qlens list, rlens list).
     """
     B = len(references)
-    with gc_pause(B):
+    with stages.stage("pack"), gc_pause(B):
         return _pack_pairs_inner(matrix, queries, references, profile,
                                  Qp, Rp, B)
 
@@ -640,10 +641,11 @@ class PendingResult:
         return self
 
     def fetch(self) -> dict[str, np.ndarray]:
-        if self._packed is not None:
-            names, packed, big, B = self._packed
-            return _unpack_scalars(names, np.asarray(packed), big, B)
-        return {k: np.asarray(v) for k, v in self._device_out.items()}
+        with stages.stage("fetch"):
+            if self._packed is not None:
+                names, packed, big, B = self._packed
+                return _unpack_scalars(names, np.asarray(packed), big, B)
+            return {k: np.asarray(v) for k, v in self._device_out.items()}
 
 
 def fetch_all(pendings: list["PendingResult"]) -> list[dict]:
@@ -664,8 +666,9 @@ def fetch_all(pendings: list["PendingResult"]) -> list[dict]:
             import jax.numpy as jnp
 
             names = forms[0][0]
-            host = np.asarray(jnp.concatenate([f[1] for f in forms],
-                                              axis=1))
+            with stages.stage("fetch"):
+                host = np.asarray(jnp.concatenate([f[1] for f in forms],
+                                                  axis=1))
             outs = []
             off = 0
             for f in forms:
@@ -725,14 +728,17 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
                               jax.default_backend() != "tpu",
                               hmax_bound=_hmax_bound(batch, gap_open,
                                                      gap_extend))
-    packed, big = fn(
-        batch.table if table_path else
-        (batch.profile if shared else padb(batch.profile)),
-        qarg, rarg, mapper, padb(batch.qlen), padb(batch.rlen),
-        np.int32(gap_open), np.int32(gap_extend), np.int32(bandwidth or 0))
+    with stages.stage("dispatch"):
+        packed, big = fn(
+            batch.table if table_path else
+            (batch.profile if shared else padb(batch.profile)),
+            qarg, rarg, mapper, padb(batch.qlen), padb(batch.rlen),
+            np.int32(gap_open), np.int32(gap_extend),
+            np.int32(bandwidth or 0))
     if not fetch:
         return PendingResult(packed_form=(names, packed, big, B))
-    return _unpack_scalars(names, np.asarray(packed), big, B)
+    with stages.stage("fetch"):
+        return _unpack_scalars(names, np.asarray(packed), big, B)
 
 
 def _hmax_bound(batch, gap_open, gap_extend):

@@ -237,9 +237,12 @@ class StreamingAligner:
             pending, qlens, rlens, handles, done = item
             try:
                 host = pending.fetch()
-                for b, h in enumerate(handles):
-                    h._value = self._aligner._make_alignment(
-                        host, b, qlens[b], rlens[b])
+                # columnar construction (~1.7 us/pair) — a per-pair
+                # _make_alignment loop costs ~13 us/pair, which at 16k
+                # pairs dwarfs the device kernels it postprocesses
+                alns = self._aligner._alignments_from(host, qlens, rlens)
+                for h, a in zip(handles, alns):
+                    h._value = a
                     h._done = True
             except Exception as e:  # propagate through result()
                 for h in handles:
