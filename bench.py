@@ -712,24 +712,30 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
         print(f"[bench] cfg3 profile vs {nrefs} refs: {dt*1e3:.0f} ms "
               f"({nrefs/dt:.0f} aln/s e2e)", file=sys.stderr)
 
-        # 4: semi-global + trace -> CIGAR emission (device flags + host walk)
+        # 4: semi-global CIGAR serving path — trace kernel + DEVICE walk
+        # (ops/trace_walk.py): the flag plane never leaves the device;
+        # the host fetches B*(Qp+Rp) opcode bytes and run-length encodes
         tr = (Aligner.new().matrix(blosum).gap_open(11).gap_extend(1)
-              .semi_global().use_trace().build())
+              .semi_global().build())
         n4 = 512 // scale
         q4, r4 = qs[:n4], rs[:n4]
 
         def cig():
-            res = tr.align_batch(q4, r4)
-            return tr.cigars(res, q4, r4)   # one native batch walk
+            return tr.align_cigars(q4, r4)
 
         guard("cfg4_warm", cig)
+        with _stages.measuring():
+            guard("cfg4_staged", cig, timeout=240)
+            out["cfg4_stages_ms"] = {
+                k: v["ms"] for k, v in _stages.snapshot().items()}
         dt, spread, _ = guard("cfg4", lambda: _timeit2(
             cig, deadline=deadline), timeout=240)
         out["cfg4_cigars_per_sec"] = round(n4 / dt)
         out["cfg4_spread"] = spread
         checkpoint()
-        print(f"[bench] cfg4 sg trace+CIGAR {n4} pairs: {dt*1e3:.1f} ms "
-              f"({n4/dt:.0f} CIGARs/s e2e)", file=sys.stderr)
+        print(f"[bench] cfg4 sg trace+CIGAR (device walk) {n4} pairs: "
+              f"{dt*1e3:.1f} ms ({n4/dt:.0f} CIGARs/s e2e) "
+              f"stages={out['cfg4_stages_ms']}", file=sys.stderr)
 
         # 1: NW global score-only, DNA, single 150bp pair (latency)
         nw = Aligner.new().gap_open(5).gap_extend(2).build()

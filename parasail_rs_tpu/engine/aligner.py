@@ -39,6 +39,30 @@ def _as_bytes(x) -> bytes:
     return b
 
 
+_CIGAR_FUSE = None
+
+
+def _cigar_fuse():
+    """Jitted (opcode rows, packed scalars) -> one int32 array so the
+    CIGAR path pays a single device->host transfer (align_cigars)."""
+    global _CIGAR_FUSE
+    if _CIGAR_FUSE is None:
+        import jax
+        import jax.numpy as jnp
+
+        def fuse(ops, packed, pad):
+            if pad:
+                ops = jnp.pad(ops, ((0, 0), (0, pad)))
+            Bp = ops.shape[0]
+            words = jax.lax.bitcast_convert_type(
+                ops.reshape(Bp, -1, 4), jnp.int32)       # (Bp, Lw)
+            return jnp.concatenate(
+                [packed.astype(jnp.int32), words.T], axis=0)
+
+        _CIGAR_FUSE = jax.jit(fuse, static_argnums=2)
+    return _CIGAR_FUSE
+
+
 class AlignerBuilder:
     """Builder for :class:`Aligner` (reference: src/aligner/mod.rs:67-370).
 
@@ -443,6 +467,126 @@ class Aligner:
             return [a.get_cigar(q, r)
                     for a, q, r in zip(alignments, queries, references)]
         return [cigar_runs_string(packed) for packed, _bq, _br in walked]
+
+    def align_cigars(self, queries, references):
+        """Batched alignment + CIGAR extraction with the DEVICE walk —
+        the transfer-light CIGAR serving path (TPU-native extra).
+
+        Covers the same user intent as ``align`` + ``get_cigar`` per
+        pair (reference: parasail_result_get_cigar,
+        src/alignment/mod.rs:390-419) but never ships the (B, Qp, Rp)
+        trace plane to the host: the trace kernel's flag plane stays on
+        device, a batched ``lax.scan`` walks every pair back from its
+        end cell (ops/trace_walk.py, bit-identical to the golden walk),
+        and the host fetches only B*(Qp+Rp) opcode bytes (~80x less
+        than the plane) plus the usual packed scalars.
+
+        Returns ``(alignments, cigars)``: score-class ``Alignment``
+        objects (score / end coordinates; no trace table is
+        materialized, so ``is_trace()`` is False) and the CIGAR string
+        per pair, identical to ``cigars()`` on a trace-enabled aligner.
+
+        Falls back to the trace-plane + host-walk path when the batch
+        cannot take a device route that leaves the plane device-side
+        (e.g. spans beyond the TPU sequential-scan valve).
+        """
+        from ..constants import cigar_runs_string
+        from ..ops.trace_walk import device_walk, ops_to_runs
+
+        refs = [_as_bytes(r) for r in references]
+        if not refs:
+            return [], []
+        if not self.profile.is_null:
+            queries = None
+            qseqs = [self.profile.query] * len(refs)
+        else:
+            queries = qseqs = [_as_bytes(q) for q in queries]
+        # result objects are score-class (no trace plane materializes)
+        res_key = KernelKey(mode=self.key.mode, free=self.key.free,
+                            outputs="score", strategy=self.key.strategy,
+                            profile=not self.profile.is_null,
+                            width=self.key.width)
+        res_al = self if self.key == res_key else Aligner(
+            key=res_key, matrix=self.matrix, gap_open=self.gap_open,
+            gap_extend=self.gap_extend, profile=self.profile,
+            bandwidth=None)
+        batch, qlens, rlens = self._pack(queries, refs)
+        route, _ = dispatch.plan_route(batch, "trace", self.gap_open,
+                                       self.gap_extend)
+        if (batch.qp + batch.rp > dispatch.WAVEFRONT_TPU_MAX_SPAN
+                or route not in ("pallas", "wavefront")):
+            # plane + host walk (streamed-trace spans and other fallbacks)
+            import dataclasses
+
+            tr = Aligner(key=dataclasses.replace(res_key, outputs="trace"),
+                         matrix=self.matrix, gap_open=self.gap_open,
+                         gap_extend=self.gap_extend, profile=self.profile,
+                         bandwidth=None)
+            alns = tr._run_packed(batch, qlens, rlens)
+            return alns, tr.cigars(alns, qseqs, refs)
+        pend = dispatch.execute(
+            batch, gap_open=self.gap_open, gap_extend=self.gap_extend,
+            mode=self.key.mode, free=self.key.free, outputs="trace",
+            width=self.key.width, fetch=False,
+            on_fallback=lambda route, reason:
+                self.route_counter.update([(route, reason)]),
+        )
+        if pend._packed is not None:
+            names, packed, big, B = pend._packed
+            trace_dev = big["trace_table"]
+            eq_dev = packed[names.index("end_query")]
+            er_dev = packed[names.index("end_ref")]
+        else:
+            dev = pend._device_out
+            trace_dev = dev["trace_table"]
+            eq_dev = dev["end_query"]
+            er_dev = dev["end_ref"]
+            B = batch.size
+            prefetch = [v for k, v in dev.items() if k != "trace_table"]
+        # the Pallas route pads the batch to the 128-lane quantum: pad
+        # the letter indices to the plane's batch dim (shared-query
+        # profiles stay (1, Qp) — the walk broadcasts)
+        import jax.numpy as jnp
+
+        Bp = int(trace_dev.shape[0])
+        qi, ri = batch.qidx, batch.ridx
+        if qi.shape[0] not in (1, Bp):
+            qi = jnp.pad(jnp.asarray(qi), ((0, Bp - qi.shape[0]), (0, 0)))
+        if ri.shape[0] != Bp:
+            ri = jnp.pad(jnp.asarray(ri), ((0, Bp - ri.shape[0]), (0, 0)))
+        ops_dev, _bq, _br = device_walk(
+            trace_dev, qi, ri, eq_dev, er_dev,
+            self.key.mode, self.key.free)
+        if pend._packed is not None:
+            # ONE device->host transfer: bitcast the opcode rows to int32
+            # words and concatenate with the packed scalars — the dev
+            # tunnel charges a fixed ~30ms per blocking transfer, so two
+            # fetches cost nearly double one
+            L = ops_dev.shape[1]
+            Lw = (L + 3) // 4
+            fused = _cigar_fuse()(ops_dev, packed, Lw * 4 - L)
+            copy = getattr(fused, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+            with stages.stage("fetch"):
+                host = np.asarray(fused)
+            nn = len(names)
+            out = dispatch._unpack_scalars(names, host[:nn], {}, B)
+            words = np.ascontiguousarray(host[nn:].T)   # (Bp, Lw) i32
+            ops_host = words.view(np.uint8)[:B, :L]
+        else:
+            for a in (*prefetch, ops_dev):
+                copy = getattr(a, "copy_to_host_async", None)
+                if copy is not None:
+                    copy()
+            with stages.stage("fetch"):
+                ops_host = np.asarray(ops_dev)[:B]
+                out = {k: np.asarray(v)[:B] for k, v in dev.items()
+                       if k != "trace_table"}
+        alns = res_al._alignments_from(out, qlens, rlens)
+        cigs = [cigar_runs_string(ops_to_runs(ops_host[b]))
+                for b in range(B)]
+        return alns, cigs
 
     # -- banded global NW (src/aligner/mod.rs:457-489) -----------------------
     def banded_nw(self, query, reference) -> Alignment:

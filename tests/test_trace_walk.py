@@ -1,0 +1,153 @@
+"""Device traceback walk (ops/trace_walk.py) + Aligner.align_cigars.
+
+Bit-exactness contract: the device walk must reproduce golden
+walk_trace / per-pair get_cigar strings for every mode, semi-global
+free-end combination, and penalty regime (including gap_open <
+gap_extend) — the same strings the reference's
+parasail_result_get_cigar emits (src/alignment/mod.rs:390-419).
+"""
+
+import numpy as np
+import pytest
+
+from parasail_rs_tpu.engine import Aligner
+from parasail_rs_tpu.matrices import Matrix
+from parasail_rs_tpu.ops.trace_walk import device_walk, ops_to_runs
+from parasail_rs_tpu.constants import cigar_runs_string
+
+rng = np.random.default_rng(7)
+DNA = list(b"ACGT")
+AA = list(b"ARNDCQEGHILKMFPSTWYV")
+
+
+def _seqs(alpha, n, lo, hi):
+    return [rng.choice(alpha, size=rng.integers(lo, hi))
+            .astype("uint8").tobytes() for _ in range(n)]
+
+
+def _trace_aligner(builder):
+    return builder.use_trace().build()
+
+
+def _check(builder_fn, qs, rs):
+    """align_cigars == per-pair get_cigar (golden walk) + same scalars."""
+    tr = _trace_aligner(builder_fn())
+    ref_alns = tr.align_batch(qs, rs)
+    want = [a.get_cigar(q, r) for a, q, r in zip(ref_alns, qs, rs)]
+
+    fast = builder_fn().build()
+    alns, cigs = fast.align_cigars(qs, rs)
+    assert cigs == want
+    for a, b in zip(alns, ref_alns):
+        assert a.get_score() == b.get_score()
+        assert a.get_end_query() == b.get_end_query()
+        assert a.get_end_ref() == b.get_end_ref()
+        assert not a.is_trace()
+
+
+def test_align_cigars_nw_dna():
+    qs = _seqs(DNA, 16, 5, 40)
+    rs = _seqs(DNA, 16, 5, 40)
+    _check(lambda: Aligner.new().gap_open(5).gap_extend(2), qs, rs)
+
+
+def test_align_cigars_sw_blosum():
+    m = Matrix.from_name("blosum62")
+    qs = _seqs(AA, 16, 10, 60)
+    rs = _seqs(AA, 16, 10, 60)
+    _check(lambda: Aligner.new().matrix(m).gap_open(11).gap_extend(1)
+           .local(), qs, rs)
+
+
+def test_align_cigars_sw_zero_score():
+    # mismatch-only local pairs: empty alignment, empty CIGAR
+    _check(lambda: Aligner.new().gap_open(5).gap_extend(2).local(),
+           [b"AAAA"], [b"CCCC"])
+
+
+@pytest.mark.parametrize("qgaps,dgaps", [
+    ([], []),
+    (["prefix"], []),
+    ([], ["suffix"]),
+    (["prefix", "suffix"], ["prefix", "suffix"]),
+    (["suffix"], ["prefix"]),
+])
+def test_align_cigars_sg_free_variants(qgaps, dgaps):
+    qs = _seqs(DNA, 8, 4, 30)
+    rs = _seqs(DNA, 8, 4, 30)
+    _check(lambda: Aligner.new().semi_global()
+           .allow_query_gaps(qgaps).allow_ref_gaps(dgaps)
+           .gap_open(4).gap_extend(1), qs, rs)
+
+
+def test_align_cigars_open_below_extend():
+    # gap_open < gap_extend: value planes run the scan-route slope form
+    qs = _seqs(DNA, 8, 6, 30)
+    rs = _seqs(DNA, 8, 6, 30)
+    _check(lambda: Aligner.new().gap_open(1).gap_extend(5), qs, rs)
+    _check(lambda: Aligner.new().gap_open(2).gap_extend(3).local(), qs, rs)
+
+
+def test_align_cigars_profile_shared_query():
+    from parasail_rs_tpu.engine import Profile
+
+    m = Matrix.from_name("blosum62")
+    q = _seqs(AA, 1, 20, 30)[0]
+    rs = _seqs(AA, 6, 15, 40)
+    prof = Profile.new(q, False, m)
+    tr = (Aligner.new().profile(prof).gap_open(11).gap_extend(1).local()
+          .use_trace().build())
+    ref_alns = tr.align_batch(None, rs)
+    want = [a.get_cigar(q, r) for a, r in zip(ref_alns, rs)]
+    fast = (Aligner.new().profile(prof).gap_open(11).gap_extend(1)
+            .local().build())
+    _, cigs = fast.align_cigars(None, rs)
+    assert cigs == want
+
+
+def test_align_cigars_empty_batch():
+    a = Aligner.new().build()
+    assert a.align_cigars([], []) == ([], [])
+
+
+def test_device_walk_matches_golden_walk_direct():
+    """Walk a trace plane directly and compare runs with golden."""
+    from parasail_rs_tpu.golden.model import walk_trace
+
+    qs = _seqs(DNA, 5, 4, 25)
+    rs = _seqs(DNA, 5, 4, 25)
+    tr = Aligner.new().gap_open(3).gap_extend(1).local().use_trace().build()
+    alns = tr.align_batch(qs, rs)
+    Qp = max(len(q) for q in qs)
+    Rp = max(len(r) for r in rs)
+    B = len(qs)
+    plane = np.zeros((B, Qp, Rp), np.int8)
+    qidx = np.full((B, Qp), -1, np.int32)
+    ridx = np.zeros((B, Rp), np.int32)
+    enc = {c: i for i, c in enumerate(b"ACGT")}
+    for b, (a, q, r) in enumerate(zip(alns, qs, rs)):
+        t = a.fields["trace_table"]
+        plane[b, :t.shape[0], :t.shape[1]] = t
+        qidx[b, :len(q)] = [enc[c] for c in q]
+        ridx[b, :len(r)] = [enc[c] for c in r]
+    eq = np.array([a.get_end_query() for a in alns], np.int32)
+    er = np.array([a.get_end_ref() for a in alns], np.int32)
+    ops, bq, br = device_walk(plane, qidx, ridx, eq, er, "sw",
+                              (True,) * 4)
+    ops, bq, br = np.asarray(ops), np.asarray(bq), np.asarray(br)
+    for b, (a, q, r) in enumerate(zip(alns, qs, rs)):
+        w = walk_trace(a.fields["trace_table"], q, r,
+                       int(eq[b]), int(er[b]), "sw")
+        got = cigar_runs_string(ops_to_runs(ops[b]))
+        want = "".join(f"{n}{op}" for n, op in w.ops)
+        assert got == want
+        assert int(bq[b]) == w.beg_query
+        assert int(br[b]) == w.beg_ref
+
+
+def test_ops_to_runs_merge_m():
+    # backward ops: last column first => forward "==XI" -> runs
+    row = np.array([3, 2, 1, 1], np.uint8)  # backward: I X = =
+    assert cigar_runs_string(ops_to_runs(row)) == "2=1X1I"
+    assert cigar_runs_string(ops_to_runs(row, merge_m=True)) == "3M1I"
+    assert ops_to_runs(np.zeros(8, np.uint8)).size == 0
