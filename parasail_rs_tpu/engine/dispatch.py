@@ -760,15 +760,37 @@ def _hmax_bound(batch, gap_open, gap_extend):
 # per-segment state round-trip — on hardware a 16kbp score batch runs
 # 37.2 GCUPS at 8192-column segments vs 30.4 at 2048 — but every
 # chunk-boundary down-state plane in VMEM is (segment, LANES) int32, so
-# stats (8 planes) and trace (3) only fit the smaller segment.
+# stats and trace only fit smaller segments.  The pack2 [m|s] layout
+# cut the stats down-state 8 -> 6 planes, which admits 2560-3072-column
+# stats segments; measured on hardware (tools/bench_stream.py,
+# 128 x 16kbp, 2026-08-19): 2048 -> 14.8 GCUPS, 2560 -> 16.7,
+# 3072 -> 16.4 (plateau) — 2560 is the knee.  Beyond that the streamed
+# stats kernel is bound by its per-column live set (34 slabs with pack2
+# vs 20 with the one-shot [m|s|l] pack, which cannot apply across
+# segments: the l field accumulates over the full reference and its
+# bit-field no longer fits int32), not by segment overhead.
 STREAM_SEG = 2048
+STREAM_SEG_STATS = 2560
 
 
-def stream_seg(outputs: str) -> int:
+def stream_seg(outputs: str, qp: int | None = None, A: int = 32) -> int:
+    """Reference columns per streamed segment for this output class.
+
+    For stats the larger pack2-enabled segment is used whenever the
+    VMEM plan admits it for this query size (it always does for
+    qp <= 16k with pack2; very long chunked queries can fall back).
+    """
     env = os.environ.get("PT_STREAM_SEG")
     if env:
         return int(env)
-    return 8192 if outputs == "score" else STREAM_SEG
+    if outputs == "score":
+        return 8192
+    if outputs == "stats" and qp is not None:
+        from ..ops.scan_kernel import scan_fits_stream
+
+        if scan_fits_stream(qp, STREAM_SEG_STATS, "stats", A=A):
+            return STREAM_SEG_STATS
+    return STREAM_SEG
 
 
 def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
@@ -785,7 +807,7 @@ def _use_streaming(batch: PairBatch, outputs: str, gap_open: int,
     from ..ops.scan_kernel import _gsel, _npk
 
     A = int(batch.score_values.shape[-1])
-    seg = stream_seg(outputs)
+    seg = stream_seg(outputs, qp=batch.qp, A=A)
     if not scan_fits_stream(batch.qp, seg, outputs, A=A):
         return False
     # The streamed input must fit the same HBM budget as the one-shot
@@ -855,7 +877,7 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
     rlen = padb(batch.rlen)
     Rp = ridx.shape[1]
 
-    seg = stream_seg(outputs)
+    seg = stream_seg(outputs, qp=int(qidx.shape[1]), A=A)
     nseg = (Rp + seg - 1) // seg
     if Rp % seg:
         ridx = jnp.pad(jnp.asarray(ridx),

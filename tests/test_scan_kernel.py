@@ -594,9 +594,60 @@ def test_stream_seg_per_output_class(monkeypatch):
     assert disp.stream_seg("score") == 8192
     assert disp.stream_seg("stats") == disp.STREAM_SEG
     assert disp.stream_seg("trace") == disp.STREAM_SEG
+    # pack2 [m|s] down-state admits the 2560-column stats segment for
+    # every query size whose plan fits (hardware A/B 2026-08-19:
+    # 14.8 -> 16.7 GCUPS on 128 x 16kbp)
+    assert disp.stream_seg("stats", qp=16384, A=25) == \
+        disp.STREAM_SEG_STATS == 2560
+    assert disp.stream_seg("stats", qp=256, A=25) == 2560
     monkeypatch.setenv("PT_STREAM_SEG", "512")
     assert disp.stream_seg("score") == 512
     assert disp.stream_seg("stats") == 512
+    assert disp.stream_seg("stats", qp=16384, A=25) == 512
+
+
+def test_streamed_stats_bit_exact_at_pack2_segment():
+    """Streamed stats with the pack2-sized (2560-column) segments match
+    golden exactly — the end-to-end pin for the segment-size bump.
+
+    Uses a small Qp but the REAL default segment choice (no env
+    override), reference long enough for several segments, interpret
+    mode on CPU.
+    """
+    import os
+
+    from parasail_rs_tpu.engine import dispatch as disp
+    from parasail_rs_tpu.golden import model as golden
+
+    assert "PT_STREAM_SEG" not in os.environ
+    rng = np.random.default_rng(11)
+    B, QL, RL = 4, 48, 2560 * 2 + 300   # 3 segments at 2560
+    table = rng.integers(-3, 4, size=(5, 5)).astype(np.int32)
+    np.fill_diagonal(table, 5)
+    qidx = rng.integers(0, 4, size=(B, QL)).astype(np.int32)
+    ridx = rng.integers(0, 4, size=(B, RL)).astype(np.int32)
+    qlen = np.full(B, QL, np.int32)
+    rlen = np.full(B, RL, np.int32)
+    prof = table[qidx]                      # (B, QL, A)
+
+    batch = disp.PairBatch(profile=prof, qidx=qidx, ridx=ridx,
+                           qlen=qlen, rlen=rlen)
+    assert disp.stream_seg("stats", qp=QL, A=5) == 2560
+    import unittest.mock as mock
+    with mock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        out = disp._execute_pallas_streamed(
+            batch, gap_open=4, gap_extend=1, mode="sw",
+            free=(True,) * 4, width="32", outputs="stats")
+    for b in range(B):
+        sub = prof[b][np.arange(QL)[:, None], ridx[b][None, :]]
+        g = golden.align(sub, qidx[b][:, None] == ridx[b][None, :],
+                         4, 1, "sw", (True,) * 4)
+        assert int(out["score"][b]) == g.score
+        assert int(out["matches"][b]) == g.matches
+        assert int(out["similar"][b]) == g.similar
+        assert int(out["length"][b]) == g.length
+        assert int(out["end_query"][b]) == g.end_query
+        assert int(out["end_ref"][b]) == g.end_ref
 
 
 OPEN_LT_EXT = [(1, 3), (2, 5), (0, 1), (0, 0)]

@@ -67,7 +67,7 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 16384
     if which in ("stats", "both"):
-        bench("stats", (512, 1024, 2048), B=B, L=L)
+        bench("stats", (2048, 2560, 3072), B=B, L=L)
     if which in ("score", "both"):
         bench("score", (2048, 4096, 8192), B=B, L=L)
     os._exit(0)
