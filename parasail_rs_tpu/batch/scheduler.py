@@ -60,3 +60,47 @@ def plan_bins(
             bins.append(Bin(qp=qp, rp=rp, indices=idxs[off:off + per_launch]))
     bins.sort(key=lambda b: (-b.qp * b.rp, -len(b.indices)))
     return bins
+
+
+def merge_bins(bins: list[Bin], *, max_launches: int,
+               max_cells: int = 1 << 28) -> list[Bin]:
+    """Greedily merge bins until at most ``max_launches`` remain.
+
+    A mixed-length workload can hit dozens of (qbucket, rbucket)
+    combinations — one kernel launch each, at a per-launch cost (host
+    dispatch + channel latency) that dwarfs the kernel time of a
+    nearly-empty bin.  Merging bins trades padded DP cells (a merged
+    bin runs at the elementwise max of the two shapes) for launches;
+    each step picks the pair with the smallest added padded-cell cost,
+    honoring ``max_cells``.
+
+    Exactness is unaffected: the engine masks padded lanes/columns, so
+    a pair computes identically in any bin whose tile covers it.
+    """
+    if len(bins) <= max_launches:
+        return bins
+    bins = [Bin(b.qp, b.rp, list(b.indices)) for b in bins]
+
+    def cells(b: Bin) -> int:
+        return len(b.indices) * b.qp * b.rp
+
+    while len(bins) > max_launches:
+        best = None
+        for i in range(len(bins)):
+            for j in range(i + 1, len(bins)):
+                a, b = bins[i], bins[j]
+                qp, rp = max(a.qp, b.qp), max(a.rp, b.rp)
+                merged = (len(a.indices) + len(b.indices)) * qp * rp
+                if merged > max_cells:
+                    continue
+                extra = merged - cells(a) - cells(b)
+                if best is None or extra < best[0]:
+                    best = (extra, i, j, qp, rp)
+        if best is None:
+            break  # nothing merges under max_cells
+        _, i, j, qp, rp = best
+        bins[i] = Bin(qp=qp, rp=rp,
+                      indices=bins[i].indices + bins[j].indices)
+        bins.pop(j)
+    bins.sort(key=lambda b: (-b.qp * b.rp, -len(b.indices)))
+    return bins

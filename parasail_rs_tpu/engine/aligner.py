@@ -412,6 +412,14 @@ class Aligner:
             max_cells = (1 << 28) if cell_sized else (1 << 33)
         bins = plan_bins(qlens, rlens, max_cells=max_cells,
                          lane_quantum=1 if cell_sized else 128)
+        # mixed-length workloads can hit dozens of shape buckets; every
+        # launch costs ~ms of host dispatch (+channel latency), which
+        # dwarfs a nearly-empty bin's kernel — merge down to a handful,
+        # trading padded cells for launches (batch/scheduler.merge_bins)
+        from ..batch import merge_bins
+
+        bins = merge_bins(bins, max_launches=16 if cell_sized else 8,
+                          max_cells=max_cells)
         results: list[Alignment | None] = [None] * len(refs)
         # dispatch every bin before fetching any: device compute of bin k
         # overlaps host packing of bin k+1 and the fetches at the end.

@@ -60,3 +60,39 @@ def test_align_many_matches_align():
         assert res.get_end_query() == one.get_end_query()
         assert res.get_end_ref() == one.get_end_ref()
         assert res.get_matches() == one.get_matches()
+
+
+def test_merge_bins_caps_launches():
+    from parasail_rs_tpu.batch import merge_bins, plan_bins
+
+    rng = np.random.default_rng(3)
+    qlens = rng.integers(100, 2000, size=256)
+    rlens = rng.integers(100, 2000, size=256)
+    bins = plan_bins(qlens, rlens, max_cells=1 << 33, lane_quantum=128)
+    assert len(bins) > 8  # the mixed workload really does fragment
+    merged = merge_bins(bins, max_launches=8, max_cells=1 << 33)
+    assert len(merged) <= 8
+    # every index exactly once
+    seen = sorted(i for b in merged for i in b.indices)
+    assert seen == list(range(256))
+    # every pair still fits its merged tile
+    for b in merged:
+        for i in b.indices:
+            assert qlens[i] <= b.qp and rlens[i] <= b.rp
+
+
+def test_merge_bins_respects_max_cells():
+    from parasail_rs_tpu.batch import Bin, merge_bins
+
+    bins = [Bin(qp=1024, rp=1024, indices=list(range(10))),
+            Bin(qp=16, rp=16, indices=[10])]
+    # merging would cost 11 * 1024 * 1024 cells > the cap -> no merge
+    out = merge_bins(bins, max_launches=1, max_cells=10_500_000)
+    assert len(out) == 2
+
+
+def test_merge_bins_noop_when_under_cap():
+    from parasail_rs_tpu.batch import Bin, merge_bins
+
+    bins = [Bin(qp=64, rp=64, indices=[0]), Bin(qp=128, rp=128, indices=[1])]
+    assert merge_bins(bins, max_launches=2) is bins
