@@ -385,14 +385,21 @@ def execute(
     with profiling.trace_region(f"pt.execute.{mode}.{outputs}"):
         route, reason = plan_route(batch, outputs, gap_open, gap_extend)
         ROUTE_COUNTS[(route, reason)] += 1
-        if route != "pallas":
+        if route not in ("pallas", "trace_walk"):
             log.info(
                 "batch (B=%d, Qp=%d, Rp=%d, %s/%s) routed to %s: %s",
                 batch.size, batch.qp, batch.rp, mode, outputs,
                 route, reason)
             if on_fallback is not None:
                 on_fallback(route, reason)
-        if route == "stream":
+        if route == "trace_walk":
+            res = _execute_stats_via_walk(
+                batch, gap_open=gap_open, gap_extend=gap_extend,
+                mode=mode, free=free, width=kernel_width)
+            if not fetch:
+                return res
+            out = res.fetch()
+        elif route == "stream":
             out = _execute_streamed_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
                 mode=mode, free=free, width=kernel_width, outputs=outputs)
@@ -503,13 +510,23 @@ def plan_route(batch: PairBatch, outputs: str, gap_open: int,
                gap_extend: int) -> tuple[str, str]:
     """Pick the execution route for a batch.
 
-    Returns ("pallas" | "stream" | "wavefront", reason).  The reason is
-    empty for "pallas" and explains what disqualified the faster
-    route(s) otherwise.
+    Returns ("pallas" | "trace_walk" | "stream" | "wavefront", reason).
+    The reason is empty for "pallas" and explains what disqualified the
+    faster route(s) otherwise.  "trace_walk" is the device route for
+    stats at gap_open <= gap_extend: the one-pass stats kernel cannot
+    reproduce golden's restart-wins payload ties there, but the trace
+    kernel's flag planes are exact for every penalty pair, so the stats
+    are counted along the device traceback walk instead
+    (ops/trace_walk.device_walk_stats) — still entirely on device.
     """
     ok, reason = _pallas_gate(batch, outputs, gap_open, gap_extend)
     if ok:
         return "pallas", ""
+    if outputs == "stats" and gap_open <= gap_extend and \
+            _pallas_gate(batch, "trace", gap_open, gap_extend)[0] and \
+            batch.qp + batch.rp <= WAVEFRONT_TPU_MAX_SPAN:
+        return "trace_walk", "stats via trace flags + device walk " \
+            "(gap_open <= gap_extend payload ties)"
     if outputs in ("score", "stats", "trace") and \
             _use_streaming(batch, outputs, gap_open, gap_extend):
         return "stream", reason
@@ -907,6 +924,63 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
         res["trace_table"] = np.concatenate(
             trace_segs, axis=2)[:, :, :Rp_true]
     return res
+
+
+_STATS_FUSE_JIT = {}
+
+
+def _execute_stats_via_walk(batch, *, gap_open, gap_extend, mode, free,
+                            width):
+    """Stats for gap_open <= gap_extend, entirely on device.
+
+    Runs the TRACE kernel (value planes and flags are exact for every
+    penalty pair), then counts golden's matches/similar/length along
+    the device traceback walk (ops/trace_walk.device_walk_stats) — the
+    flags encode exactly the payload tie decisions the one-pass stats
+    kernel cannot observe.  The flag plane never leaves the device; the
+    host fetches one packed scalar array with the standard stats-class
+    names.  Returns a PendingResult (packed scalar form).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.trace_walk import device_walk_stats
+
+    pend = _execute_pallas_or_fallback(
+        batch, gap_open=gap_open, gap_extend=gap_extend, mode=mode,
+        free=free, width=width, outputs="trace", fetch=False)
+    if pend._packed is not None:
+        names, packed, big, B = pend._packed
+        trace_dev = big["trace_table"]
+        eq = packed[names.index("end_query")]
+        er = packed[names.index("end_ref")]
+        rows = {n: packed[i] for i, n in enumerate(names)}
+    else:  # wavefront fallback: dict of device arrays
+        dev = pend._device_out
+        trace_dev = dev["trace_table"]
+        eq, er = dev["end_query"], dev["end_ref"]
+        B = batch.size
+        rows = {k: v for k, v in dev.items() if k != "trace_table"}
+    Bp = int(trace_dev.shape[0])
+    qi, ri = batch.qidx, batch.ridx
+    if qi.shape[0] not in (1, Bp):
+        qi = jnp.pad(jnp.asarray(qi), ((0, Bp - qi.shape[0]), (0, 0)))
+    if ri.shape[0] != Bp:
+        ri = jnp.pad(jnp.asarray(ri), ((0, Bp - ri.shape[0]), (0, 0)))
+    sub = batch.table if batch.table is not None else batch.profile
+    m, s, ln = device_walk_stats(
+        trace_dev, qi, ri, jnp.asarray(sub, jnp.int32), eq, er, mode, free)
+    rows.update(matches=m, similar=s, length=ln)
+    out_names = scan_scalar_names(width, stats=True)
+    key = (out_names, Bp)
+    fuse = _STATS_FUSE_JIT.get(key)
+    if fuse is None:
+        import jax
+
+        fuse = _STATS_FUSE_JIT[key] = jax.jit(
+            lambda kw: jnp.stack(
+                [kw[n].astype(jnp.int32) for n in out_names]))
+    packed2 = fuse({n: rows[n] for n in out_names})
+    return PendingResult(packed_form=(out_names, packed2, {}, B))
 
 
 WAVEFRONT_TPU_MAX_SPAN = int(

@@ -78,7 +78,49 @@ def device_walk(trace, qidx, ridx, end_q, end_r, mode: str,
     return fn(trace, qidx, ridx, end_q, end_r)
 
 
-def _walk_impl(trace, qidx, ridx, end_q, end_r, Qp, Rp, local, qb, db):
+_STATS_WALK_JIT = {}
+
+
+def device_walk_stats(trace, qidx, ridx, sub, end_q, end_r, mode: str,
+                      free: tuple[bool, bool, bool, bool]):
+    """Accumulate golden's end-cell stats along the traceback path.
+
+    Golden's ``matches`` / ``similar`` / ``length`` accumulators follow
+    the SAME tie decisions the trace flags encode (golden/model.py: the
+    payload branches and the flag branches are the same comparisons),
+    so the stats at the end cell equal the counts along the flag walk:
+    matches = diagonal steps with equal mapped letters, similar =
+    diagonal steps with substitution score > 0, length = every step
+    including penalized boundary gap runs.  This serves the
+    ``gap_open <= gap_extend`` stats regime on device — the one-pass
+    stats kernel cannot (the value ties route payloads through a
+    diag-vs-F comparison its argmax never observes), but the VALUE
+    planes and trace flags are exact for every penalty pair, and the
+    walk is just a reader of those exact flags.
+
+    ``sub`` supplies the substitution scores for the `similar` count:
+    an (A, A) table (square matrices — gathered at (qc, rc)) or a
+    (B or 1, Qp, A) profile-row block (PSSM / profile batches —
+    gathered at (i, rc)).
+
+    Returns (matches, similar, length) int32 (B,) device arrays.
+    """
+    import jax
+
+    B, Qp, Rp = trace.shape
+    local = mode == "sw"
+    qb, _qe, db, _de = (True,) * 4 if local else free
+    key = (Qp, Rp, local, qb, db, sub.ndim)
+    fn = _STATS_WALK_JIT.get(key)
+    if fn is None:
+        fn = _STATS_WALK_JIT[key] = jax.jit(
+            lambda t, q, r, s, ei, ej: _walk_impl(
+                t, q, r, ei, ej, Qp, Rp, local, qb, db, sub=s))
+    return fn(trace, qidx, ridx, sub, end_q, end_r)
+
+
+def _walk_impl(trace, qidx, ridx, end_q, end_r, Qp, Rp, local, qb, db,
+               sub=None):
     import jax
     import jax.numpy as jnp
 
@@ -88,9 +130,15 @@ def _walk_impl(trace, qidx, ridx, end_q, end_r, Qp, Rp, local, qb, db):
     qidx = jnp.broadcast_to(qidx, (B, Qp))
     barange = jnp.arange(B)
     i32 = jnp.int32
+    want_stats = sub is not None
+    if want_stats and sub.ndim == 3:
+        prof = jnp.broadcast_to(sub, (B, Qp, sub.shape[2]))
 
     def step(carry, _):
-        i, j, state = carry
+        if want_stats:
+            i, j, state, cm, cs, cl = carry
+        else:
+            i, j, state = carry
         ii = jnp.clip(i, 0, Qp - 1)
         jj = jnp.clip(j, 0, Rp - 1)
         t = tflat[barange, ii * Rp + jj].astype(i32)
@@ -154,14 +202,30 @@ def _walk_impl(trace, qidx, ridx, end_q, end_r, Qp, Rp, local, qb, db):
         di = jnp.where(live, di, jnp.where(ins_tail, 1, 0))
         dj = jnp.where(live, dj, jnp.where(del_tail, 1, 0))
 
-        return ((i - di).astype(i32), (j - dj).astype(i32),
-                ns.astype(i32)), op.astype(jnp.uint8)
+        nc = ((i - di).astype(i32), (j - dj).astype(i32), ns.astype(i32))
+        if want_stats:
+            # golden accumulators along the path: matches = diagonal
+            # steps with equal mapped letters, similar = diagonal steps
+            # with substitution score > 0, length = every step
+            # (golden/model.py Hm/Hs/Hl updates)
+            diag_step = (op == OP_EQ) | (op == OP_X)
+            if sub.ndim == 2:
+                sv = sub[jnp.clip(qc, 0, sub.shape[0] - 1), rc]
+            else:
+                sv = prof[barange, ii, rc]
+            nc = nc + ((cm + (op == OP_EQ)).astype(i32),
+                       (cs + (diag_step & (sv > 0))).astype(i32),
+                       (cl + (op != OP_NONE)).astype(i32))
+        return nc, op.astype(jnp.uint8)
 
-    (fi, fj, _), ops = jax.lax.scan(
-        step,
-        (jnp.asarray(end_q, i32), jnp.asarray(end_r, i32),
-         jnp.zeros(B, i32)),
-        None, length=L)
+    init = (jnp.asarray(end_q, i32), jnp.asarray(end_r, i32),
+            jnp.zeros(B, i32))
+    if want_stats:
+        init = init + (jnp.zeros(B, i32),) * 3
+        (fi, fj, _, m, s, length), _ops = jax.lax.scan(
+            step, init, None, length=L)
+        return m, s, length
+    (fi, fj, _), ops = jax.lax.scan(step, init, None, length=L)
     return ops.T, fi + 1, fj + 1
 
 

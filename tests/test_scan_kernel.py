@@ -750,7 +750,8 @@ def test_scan_open_lt_ext_chunked_and_streamed():
 def test_engine_open_lt_ext_pallas_route(monkeypatch):
     """The engine serves open < ext on the scan route (forced Pallas =
     interpret on CPU) with results identical to the wavefront route;
-    stats still plan to the wavefront (payload tie semantics)."""
+    stats plan to the trace+device-walk route (payload tie semantics
+    keep them off the one-pass stats kernel)."""
     from parasail_rs_tpu.engine import Aligner
     from parasail_rs_tpu.engine.dispatch import pack_pairs, plan_route
 
@@ -769,4 +770,4 @@ def test_engine_open_lt_ext_pallas_route(monkeypatch):
     assert plan_route(batch, "score", 1, 3)[0] == "pallas"
     assert plan_route(batch, "trace", 1, 3)[0] == "pallas"
     route, reason = plan_route(batch, "stats", 1, 3)
-    assert route == "wavefront" and "tie semantics" in reason
+    assert route == "trace_walk" and "device walk" in reason

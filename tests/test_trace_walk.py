@@ -151,3 +151,94 @@ def test_ops_to_runs_merge_m():
     assert cigar_runs_string(ops_to_runs(row)) == "2=1X1I"
     assert cigar_runs_string(ops_to_runs(row, merge_m=True)) == "3M1I"
     assert ops_to_runs(np.zeros(8, np.uint8)).size == 0
+
+
+# ---------------------------------------------------------------------------
+# Stats at gap_open <= gap_extend on the device route (trace flags + walk)
+# ---------------------------------------------------------------------------
+import os
+import unittest.mock as umock
+
+from parasail_rs_tpu.engine import dispatch as disp
+from parasail_rs_tpu.golden import align_seqs
+
+
+def _golden_stats(q, r, m, open_, ext, mode, free=None):
+    g = align_seqs(q, r, m, open_, ext, mode, free)
+    return (g.score, g.end_query, g.end_ref, g.matches, g.similar, g.length)
+
+
+@pytest.mark.parametrize("open_,ext", [(1, 3), (2, 5), (0, 1), (0, 0),
+                                       (2, 2)])
+@pytest.mark.parametrize("mode", ["nw", "sw", "sg"])
+def test_stats_open_le_ext_device_route(open_, ext, mode):
+    """The open <= ext stats regime runs the trace+walk device route and
+    matches golden exactly — the 'tie semantics' wavefront fallback is
+    gone for on-envelope shapes (VERDICT r3 item 5)."""
+    qs = _seqs(DNA, 6, 4, 28)
+    rs = _seqs(DNA, 6, 4, 28)
+    b = Aligner.new().gap_open(open_).gap_extend(ext).use_stats()
+    b = {"nw": b.global_, "sw": b.local, "sg": b.semi_global}[mode]()
+    al = b.build()
+    m = al.matrix
+    with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        batch, _, _ = al._pack(qs, rs)
+        route, reason = disp.plan_route(batch, "stats", open_, ext)
+        assert route == "trace_walk"
+        assert "tie semantics" not in reason
+        res = al.align_batch(qs, rs)
+    for a, q, r in zip(res, qs, rs):
+        score, eq, er, mm, ss, ll = _golden_stats(q, r, m, open_, ext, mode)
+        assert a.get_score() == score
+        assert a.get_end_query() == eq and a.get_end_ref() == er
+        assert a.get_matches() == mm
+        assert a.get_similar() == ss
+        assert a.get_length() == ll
+
+
+def test_stats_open_le_ext_sg_free_variants():
+    qs = _seqs(DNA, 4, 4, 20)
+    rs = _seqs(DNA, 4, 4, 20)
+    for qg, dg in [(["prefix"], []), ([], ["suffix"]),
+                   (["suffix"], ["prefix"])]:
+        al = (Aligner.new().semi_global().allow_query_gaps(qg)
+              .allow_ref_gaps(dg).gap_open(1).gap_extend(4)
+              .use_stats().build())
+        with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+            res = al.align_batch(qs, rs)
+        from parasail_rs_tpu.golden.model import free_flags
+
+        free = free_flags("sg", qg, dg)
+        for a, q, r in zip(res, qs, rs):
+            score, eq, er, mm, ss, ll = _golden_stats(
+                q, r, al.matrix, 1, 4, "sg", free)
+            assert (a.get_score(), a.get_matches(), a.get_similar(),
+                    a.get_length()) == (score, mm, ss, ll)
+
+
+def test_stats_open_le_ext_blosum_profile():
+    """PSSM-free profile batches (shared query) on the walk route."""
+    from parasail_rs_tpu.engine import Profile
+
+    m = Matrix.from_name("blosum62")
+    q = _seqs(AA, 1, 15, 25)[0]
+    rs = _seqs(AA, 5, 10, 30)
+    prof = Profile.new(q, True, m)
+    al = (Aligner.new().profile(prof).gap_open(1).gap_extend(2).local()
+          .build())
+    with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        res = al.align_batch(None, rs)
+    for a, r in zip(res, rs):
+        score, eq, er, mm, ss, ll = _golden_stats(q, r, m, 1, 2, "sw")
+        assert (a.get_score(), a.get_matches(), a.get_similar(),
+                a.get_length()) == (score, mm, ss, ll)
+
+
+def test_stats_open_gt_ext_still_one_pass():
+    """The strict open > ext regime keeps the one-pass stats kernel."""
+    al = (Aligner.new().gap_open(5).gap_extend(2).use_stats().local()
+          .build())
+    with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        batch, _, _ = al._pack([b"ACGT"], [b"ACGT"])
+        route, _ = disp.plan_route(batch, "stats", 5, 2)
+    assert route == "pallas"
