@@ -26,3 +26,12 @@ pa = (Aligner.new().profile(profile).use_stats()
 for ref, res in zip([b"PAWHEAE", b"AWGHEE"],
                     pa.align_batch(None, [b"PAWHEAE", b"AWGHEE"])):
     print(ref, "->", res.get_score(), "matches:", res.get_matches())
+
+# CIGAR serving path: device traceback walk — the flag plane never
+# leaves the device; one fused scalar+opcode fetch per batch
+sw = (Aligner.new().matrix(matrix).gap_open(11).gap_extend(1)
+      .local().build())
+alns, cigars = sw.align_cigars([b"HEAGAWGHEE", b"PAWHEAE"],
+                               [b"PAWHEAE", b"HEAGAWGHEE"])
+for a, c in zip(alns, cigars):
+    print("score:", a.get_score(), " cigar:", c)

@@ -48,11 +48,26 @@ def plan_sharded_route(
     *, outputs: str, gap_open: int, gap_extend: int,
     score_values, Qp: int, Rp: int, shard_batch: int,
 ) -> str:
-    """Pick "scan" (Pallas) or "wavefront" for a sharded batch — the same
-    gates as engine.dispatch._use_pallas, applied per shard."""
-    if outputs in _STATS_OUTPUTS and gap_open <= gap_extend:
-        return "wavefront"
+    """Pick "scan" / "trace_walk" (Pallas) or "wavefront" for a sharded
+    batch — the same gates as engine.dispatch.plan_route, per shard.
+
+    "trace_walk" mirrors the single-chip route for stats at
+    gap_open <= gap_extend: each shard runs the trace kernel and counts
+    matches/similar/length along the device traceback walk
+    (ops/trace_walk) — entirely inside shard_map, flags never leave the
+    shard's device.
+    """
     vals = np.asarray(score_values)
+    if outputs in _STATS_OUTPUTS and gap_open <= gap_extend:
+        if (outputs == "stats"
+                and not (vals.min() < -128 or vals.max() > 127)
+                and scan_fits(Qp, Rp, "trace", A=int(vals.shape[-1]))
+                and Qp + Rp <= 8192
+                and shard_batch * Qp * Rp <= 2 << 30
+                and (os.environ.get("PT_FORCE_PALLAS") == "1"
+                     or jax.default_backend() == "tpu")):
+            return "trace_walk"
+        return "wavefront"
     if vals.min() < -128 or vals.max() > 127:
         return "wavefront"
     from ..ops.scan_kernel import _gsel, _npk
@@ -83,6 +98,26 @@ def _sharded_fn(mesh: Mesh, mode: str, free, outputs: str, width: str,
     want_stats = outputs in _STATS_OUTPUTS
 
     def local(profile, qidx, ridx, qlen, rlen, open_, ext):
+        if kernel == "trace_walk":
+            # stats at open <= ext: trace kernel + device walk per shard
+            # (the single-chip route under shard_map; see
+            # engine.dispatch._execute_stats_via_walk)
+            from ..ops.trace_walk import _walk_impl
+
+            out = scan_score_align(
+                profile, ridx, qlen, rlen, None,
+                open_=open_, ext=ext, mode=mode, free=free, width=width,
+                outputs="trace", interpret=interpret,
+                hmax_bound=hmax_bound)
+            trace = out.pop("trace_table")
+            Qp, Rp = trace.shape[1], trace.shape[2]
+            is_local = mode == "sw"
+            qb, _qe, db, _de = (True,) * 4 if is_local else free
+            m, s, ln = _walk_impl(
+                trace, qidx, ridx, out["end_query"], out["end_ref"],
+                Qp, Rp, is_local, qb, db, sub=profile)
+            out.update(matches=m, similar=s, length=ln)
+            return out
         if kernel == "scan":
             return scan_score_align(
                 profile, ridx, qlen, rlen, qidx if want_stats else None,
@@ -140,7 +175,7 @@ def sharded_align(
         route = plan_sharded_route(
             outputs=outputs, gap_open=int(open_), gap_extend=int(ext),
             score_values=profile, Qp=Qp, Rp=Rp, shard_batch=shard_b)
-    unit = ndev * LANES if route == "scan" else ndev
+    unit = ndev * LANES if route in ("scan", "trace_walk") else ndev
     Bp = (B + unit - 1) // unit * unit
 
     def padb(x):
@@ -157,7 +192,7 @@ def sharded_align(
 
     interpret = jax.default_backend() != "tpu"
     hb = None
-    if route == "scan":
+    if route in ("scan", "trace_walk"):
         # packed-candidate gate (see engine.dispatch._hmax_bound)
         smax = int(max(abs(int(profile.min())), abs(int(profile.max()))))
         raw = (smax + int(open_) + int(ext)) * (Qp + Rp)

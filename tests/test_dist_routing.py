@@ -128,3 +128,36 @@ def test_plan_sharded_route_gates():
     assert plan_sharded_route(
         outputs="score", gap_open=11, gap_extend=1, score_values=big,
         Qp=256, Rp=256, shard_batch=128) == "wavefront"
+
+
+@pytest.mark.parametrize("open_,ext,mode", [(1, 3, "sw"), (2, 2, "nw"),
+                                            (0, 1, "sg")])
+def test_sharded_trace_walk_stats_open_le_ext(open_, ext, mode,
+                                              monkeypatch):
+    """Stats at gap_open <= gap_extend run the per-shard trace+walk route
+    under shard_map (the single-chip trace_walk route, data-parallel) —
+    bit-exact vs golden on the 8-device mesh."""
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    m = Matrix.from_name("blosum62")
+    rng = np.random.default_rng(29)
+    B = 16
+    pairs, batch = _pairs(rng, m, B)
+    free = golden.free_flags(mode)
+    route = plan_sharded_route(
+        outputs="stats", gap_open=open_, gap_extend=ext,
+        score_values=batch.profile, Qp=batch.qp, Rp=batch.rp,
+        shard_batch=128)
+    assert route == "trace_walk"
+    out = sharded_align(
+        MESH, batch.profile, batch.qidx, batch.ridx, batch.qlen,
+        batch.rlen, open_=open_, ext=ext, mode=mode, free=free,
+        outputs="stats", width="sat", route="auto")
+    host = gather_scores(out)
+    for b in range(B):
+        g = golden.align_seqs(*pairs[b], m, open_, ext, mode)
+        assert host["score"][b] == g.score
+        assert host["matches"][b] == g.matches
+        assert host["similar"][b] == g.similar
+        assert host["length"][b] == g.length
+        assert host["end_query"][b] == g.end_query
+        assert host["end_ref"][b] == g.end_ref
