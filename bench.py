@@ -147,6 +147,14 @@ def _emit(res, scratch=None):
     }
     if res["backend"] == "tpu":
         _record_history(res, out)
+        # tunnel weather swings run-to-run by >2x (see the "tunnel"
+        # calibration); surface the committed history's best TPU run so
+        # a bad-weather artifact still references the evidence trail
+        best = _best_tpu_record()
+        if best and best["aln_per_sec"] > out["value"]:
+            out["history_best_aln_per_sec"] = best["aln_per_sec"]
+            out["history_best_age_hours"] = round(
+                (time.time() - best["ts"]) / 3600, 1)
     else:
         # CPU fallback (dev-tunnel outage): point at the most recent
         # REAL TPU measurement in the committed history, clearly labeled —
@@ -193,6 +201,16 @@ def _record_history(res, out):
         os.replace(tmp, HISTORY)
     except OSError as e:
         print(f"[bench] history write failed: {e}", file=sys.stderr)
+
+
+def _best_tpu_record():
+    try:
+        with open(HISTORY) as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+        return max(recs, key=lambda r: r.get("aln_per_sec", 0),
+                   default=None)
+    except (OSError, ValueError):
+        return None
 
 
 def _last_tpu_record():

@@ -43,23 +43,25 @@ _CIGAR_FUSE = None
 
 
 def _cigar_fuse():
-    """Jitted (opcode rows, packed scalars) -> one int32 array so the
-    CIGAR path pays a single device->host transfer (align_cigars)."""
+    """Jitted (opcode rows, packed scalars, begin coords) -> one int32
+    array so the walk paths pay a single device->host transfer
+    (align_cigars / ssw_batch)."""
     global _CIGAR_FUSE
     if _CIGAR_FUSE is None:
         import jax
         import jax.numpy as jnp
 
-        def fuse(ops, packed, pad):
+        def fuse(ops, packed, bq, br, pad):
             if pad:
                 ops = jnp.pad(ops, ((0, 0), (0, pad)))
             Bp = ops.shape[0]
             words = jax.lax.bitcast_convert_type(
                 ops.reshape(Bp, -1, 4), jnp.int32)       # (Bp, Lw)
             return jnp.concatenate(
-                [packed.astype(jnp.int32), words.T], axis=0)
+                [packed.astype(jnp.int32), bq[None].astype(jnp.int32),
+                 br[None].astype(jnp.int32), words.T], axis=0)
 
-        _CIGAR_FUSE = jax.jit(fuse, static_argnums=2)
+        _CIGAR_FUSE = jax.jit(fuse, static_argnums=4)
     return _CIGAR_FUSE
 
 
@@ -499,7 +501,7 @@ class Aligner:
         (e.g. spans beyond the TPU sequential-scan valve).
         """
         from ..constants import cigar_runs_string
-        from ..ops.trace_walk import device_walk, ops_to_runs
+        from ..ops.trace_walk import ops_to_runs
 
         refs = [_as_bytes(r) for r in references]
         if not refs:
@@ -532,6 +534,33 @@ class Aligner:
                          bandwidth=None)
             alns = tr._run_packed(batch, qlens, rlens)
             return alns, tr.cigars(alns, qseqs, refs)
+        out, ops_host, _bq, _br = self._device_trace_walk(
+            batch, qseq=None if self.profile.is_null else self.profile.query)
+        alns = res_al._alignments_from(out, qlens, rlens)
+        cigs = [cigar_runs_string(ops_to_runs(ops_host[b]))
+                for b in range(batch.size)]
+        return alns, cigs
+
+    def _device_trace_walk(self, batch, qseq: bytes | None = None):
+        """Trace kernel + device traceback walk with ONE fused fetch.
+
+        Returns (scalars dict, ops rows (B, Qp+Rp) uint8 backward,
+        beg_query (B,), beg_ref (B,)).  The trace flag plane never
+        leaves the device; the host receives the kernel scalars, the
+        walk's begin coordinates, and the compact opcode rows in a
+        single device->host transfer (the dev channel charges a fixed
+        ~30 ms per blocking transfer).  Callers must have routed the
+        batch to a device trace route first (plan_route pallas /
+        wavefront, span within the walk valve).
+
+        The '=' vs 'X' decision follows golden walk_trace's RAW byte
+        comparison — mapped indices fold case and wildcards, which is
+        the `matches` stat's semantics, not the CIGAR's — so the walk
+        receives the packed byte planes when the batch carries them
+        (``qseq`` supplies the query bytes for shared-profile batches).
+        """
+        from ..ops.trace_walk import device_walk
+
         pend = dispatch.execute(
             batch, gap_open=self.gap_open, gap_extend=self.gap_extend,
             mode=self.key.mode, free=self.key.free, outputs="trace",
@@ -539,6 +568,7 @@ class Aligner:
             on_fallback=lambda route, reason:
                 self.route_counter.update([(route, reason)]),
         )
+        B = batch.size
         if pend._packed is not None:
             names, packed, big, B = pend._packed
             trace_dev = big["trace_table"]
@@ -549,30 +579,36 @@ class Aligner:
             trace_dev = dev["trace_table"]
             eq_dev = dev["end_query"]
             er_dev = dev["end_ref"]
-            B = batch.size
-            prefetch = [v for k, v in dev.items() if k != "trace_table"]
+        # symbol planes for the '=' decision: raw bytes when available
+        qi, ri = batch.qidx, batch.ridx
+        if batch.rbytes is not None:
+            if batch.qbytes is not None:
+                qi, ri = batch.qbytes, batch.rbytes
+            elif qseq is not None:
+                qarr = np.zeros((1, batch.qp), np.uint8)
+                qb_ = np.frombuffer(qseq, np.uint8)
+                qarr[0, :len(qb_)] = qb_
+                qi, ri = qarr, batch.rbytes
         # the Pallas route pads the batch to the 128-lane quantum: pad
-        # the letter indices to the plane's batch dim (shared-query
+        # the symbol planes to the plane's batch dim (shared-query
         # profiles stay (1, Qp) — the walk broadcasts)
         import jax.numpy as jnp
 
         Bp = int(trace_dev.shape[0])
-        qi, ri = batch.qidx, batch.ridx
         if qi.shape[0] not in (1, Bp):
             qi = jnp.pad(jnp.asarray(qi), ((0, Bp - qi.shape[0]), (0, 0)))
         if ri.shape[0] != Bp:
             ri = jnp.pad(jnp.asarray(ri), ((0, Bp - ri.shape[0]), (0, 0)))
-        ops_dev, _bq, _br = device_walk(
+        ops_dev, bq_dev, br_dev = device_walk(
             trace_dev, qi, ri, eq_dev, er_dev,
             self.key.mode, self.key.free)
+        L = ops_dev.shape[1]
         if pend._packed is not None:
             # ONE device->host transfer: bitcast the opcode rows to int32
-            # words and concatenate with the packed scalars — the dev
-            # tunnel charges a fixed ~30ms per blocking transfer, so two
-            # fetches cost nearly double one
-            L = ops_dev.shape[1]
+            # words and concatenate with scalars + begin coords
             Lw = (L + 3) // 4
-            fused = _cigar_fuse()(ops_dev, packed, Lw * 4 - L)
+            fused = _cigar_fuse()(ops_dev, packed, bq_dev, br_dev,
+                                  Lw * 4 - L)
             copy = getattr(fused, "copy_to_host_async", None)
             if copy is not None:
                 copy()
@@ -580,21 +616,22 @@ class Aligner:
                 host = np.asarray(fused)
             nn = len(names)
             out = dispatch._unpack_scalars(names, host[:nn], {}, B)
-            words = np.ascontiguousarray(host[nn:].T)   # (Bp, Lw) i32
+            bq, br = host[nn, :B], host[nn + 1, :B]
+            words = np.ascontiguousarray(host[nn + 2:].T)  # (Bp, Lw) i32
             ops_host = words.view(np.uint8)[:B, :L]
         else:
-            for a in (*prefetch, ops_dev):
+            prefetch = [v for k, v in dev.items() if k != "trace_table"]
+            for a in (*prefetch, ops_dev, bq_dev, br_dev):
                 copy = getattr(a, "copy_to_host_async", None)
                 if copy is not None:
                     copy()
             with stages.stage("fetch"):
                 ops_host = np.asarray(ops_dev)[:B]
+                bq = np.asarray(bq_dev)[:B]
+                br = np.asarray(br_dev)[:B]
                 out = {k: np.asarray(v)[:B] for k, v in dev.items()
                        if k != "trace_table"}
-        alns = res_al._alignments_from(out, qlens, rlens)
-        cigs = [cigar_runs_string(ops_to_runs(ops_host[b]))
-                for b in range(B)]
-        return alns, cigs
+        return out, ops_host, bq, br
 
     # -- banded global NW (src/aligner/mod.rs:457-489) -----------------------
     def banded_nw(self, query, reference) -> Alignment:
@@ -713,7 +750,37 @@ class Aligner:
             profile=self.profile if use_profile else Profile.default(),
             bandwidth=None,
         )
-        alns = sw.align_batch(None if use_profile else qs, refs)
+        batch, qlens, rlens = sw._pack(None if use_profile else qs, refs)
+        route, _ = dispatch.plan_route(batch, "trace", self.gap_open,
+                                       self.gap_extend)
+        if (batch.qp + batch.rp <= dispatch.WAVEFRONT_TPU_MAX_SPAN
+                and route in ("pallas", "wavefront")):
+            # device walk: begins + merged-M CIGAR runs without ever
+            # shipping the flag plane (same path as align_cigars)
+            from ..ops.trace_walk import ops_to_runs
+
+            out, ops_host, bqs, brs = sw._device_trace_walk(
+                batch, qseq=self.profile.query if use_profile else None)
+            promoted = np.asarray(
+                out.get("promoted", np.zeros(batch.size, bool)))
+            results = []
+            for k in range(batch.size):
+                if score_size == 0 and bool(promoted[k]):
+                    score1 = 255
+                elif score_size == 0:
+                    score1 = min(int(out["score"][k]), 255)
+                else:
+                    score1 = min(int(out["score"][k]), 0xFFFF)
+                results.append(SSWResult(
+                    score1=score1,
+                    ref_begin1=int(brs[k]),
+                    ref_end1=int(out["end_ref"][k]),
+                    read_begin1=int(bqs[k]),
+                    read_end1=int(out["end_query"][k]),
+                    _cigar=ops_to_runs(ops_host[k], merge_m=True),
+                ))
+            return results
+        alns = sw._run_packed(batch, qlens, rlens)
         traces = [a.fields["trace_table"] for a in alns]
         end_qs = [a.get_end_query() for a in alns]
         end_rs = [a.get_end_ref() for a in alns]

@@ -242,3 +242,23 @@ def test_stats_open_gt_ext_still_one_pass():
         batch, _, _ = al._pack([b"ACGT"], [b"ACGT"])
         route, _ = disp.plan_route(batch, "stats", 5, 2)
     assert route == "pallas"
+
+
+def test_align_cigars_mixed_case_matches_get_cigar():
+    """'=' vs 'X' follows golden's RAW byte comparison: lowercase query
+    letters mismatch uppercase reference letters in the CIGAR even when
+    the case-folding matrix maps them to the same index (regression:
+    the device walk used mapped indices and emitted 4= here)."""
+    q, r = b"acgt", b"ACGT"
+    tr = Aligner.new().gap_open(5).gap_extend(2).use_trace().build()
+    want = tr.align(q, r).get_cigar(q, r)
+    assert want == "4X"
+    fast = Aligner.new().gap_open(5).gap_extend(2).build()
+    _, cigs = fast.align_cigars([q], [r])
+    assert cigs == [want]
+    # stats keep the mapped-index semantics: these ARE matches
+    st = (Aligner.new().gap_open(1).gap_extend(2).use_stats().build())
+    import unittest.mock as m2
+    with m2.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        a = st.align(q, r)
+    assert a.get_matches() == 4
