@@ -59,10 +59,12 @@ def plan_sharded_route(
     """
     vals = np.asarray(score_values)
     if outputs in _STATS_OUTPUTS and gap_open <= gap_extend:
+        from ..engine import dispatch as _dispatch
+
         if (outputs == "stats"
                 and not (vals.min() < -128 or vals.max() > 127)
                 and scan_fits(Qp, Rp, "trace", A=int(vals.shape[-1]))
-                and Qp + Rp <= 8192
+                and Qp + Rp <= _dispatch.WAVEFRONT_TPU_MAX_SPAN
                 and shard_batch * Qp * Rp <= 2 << 30
                 and (os.environ.get("PT_FORCE_PALLAS") == "1"
                      or jax.default_backend() == "tpu")):

@@ -525,15 +525,22 @@ class Aligner:
                                        self.gap_extend)
         if (batch.qp + batch.rp > dispatch.WAVEFRONT_TPU_MAX_SPAN
                 or route not in ("pallas", "wavefront")):
-            # plane + host walk (streamed-trace spans and other fallbacks)
+            # plane + host walk (streamed-trace spans and other
+            # fallbacks); the trace-class alignments are internal — the
+            # returned objects are score-class like the device path's,
+            # so the documented contract (is_trace() False, no plane
+            # retained) holds on every route
             import dataclasses
 
             tr = Aligner(key=dataclasses.replace(res_key, outputs="trace"),
                          matrix=self.matrix, gap_open=self.gap_open,
                          gap_extend=self.gap_extend, profile=self.profile,
                          bandwidth=None)
-            alns = tr._run_packed(batch, qlens, rlens)
-            return alns, tr.cigars(alns, qseqs, refs)
+            out = tr._execute(batch)
+            tmp = tr._alignments_from(out, qlens, rlens)
+            cigs = tr.cigars(tmp, qseqs, refs)
+            clean = {k: v for k, v in out.items() if k != "trace_table"}
+            return res_al._alignments_from(clean, qlens, rlens), cigs
         out, ops_host, _bq, _br = self._device_trace_walk(
             batch, qseq=None if self.profile.is_null else self.profile.query)
         alns = res_al._alignments_from(out, qlens, rlens)

@@ -966,9 +966,14 @@ def _execute_stats_via_walk(batch, *, gap_open, gap_extend, mode, free,
         qi = jnp.pad(jnp.asarray(qi), ((0, Bp - qi.shape[0]), (0, 0)))
     if ri.shape[0] != Bp:
         ri = jnp.pad(jnp.asarray(ri), ((0, Bp - ri.shape[0]), (0, 0)))
-    sub = batch.table if batch.table is not None else batch.profile
+    sub = jnp.asarray(
+        batch.table if batch.table is not None else batch.profile,
+        jnp.int32)
+    if sub.ndim == 3 and sub.shape[0] not in (1, Bp):
+        # per-pair profile rows: pad to the Pallas 128-lane batch dim
+        sub = jnp.pad(sub, ((0, Bp - sub.shape[0]), (0, 0), (0, 0)))
     m, s, ln = device_walk_stats(
-        trace_dev, qi, ri, jnp.asarray(sub, jnp.int32), eq, er, mode, free)
+        trace_dev, qi, ri, sub, eq, er, mode, free)
     rows.update(matches=m, similar=s, length=ln)
     out_names = scan_scalar_names(width, stats=True)
     key = (out_names, Bp)

@@ -262,3 +262,60 @@ def test_align_cigars_mixed_case_matches_get_cigar():
     with m2.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
         a = st.align(q, r)
     assert a.get_matches() == 4
+
+
+def test_stats_walk_per_pair_profile_batch():
+    """Per-pair (B, Qp, A) profile batches (build_batch, B not
+    lane-padded) run the trace_walk stats route without shape errors
+    (regression: the sub plane was not padded to the Pallas batch dim)."""
+    from parasail_rs_tpu.engine.dispatch import build_batch, execute
+    from parasail_rs_tpu.engine.profile import profile_rows
+    from parasail_rs_tpu.golden import model as golden
+
+    m = Matrix.from_name("blosum62")
+    qs = _seqs(AA, 3, 5, 14)
+    rs = _seqs(AA, 3, 5, 14)
+    prows = [profile_rows(m, m.encode(q)) for q in qs]
+    batch = build_batch(prows, [m.encode(q) for q in qs],
+                        [m.encode(r) for r in rs])
+    with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        out = execute(batch, gap_open=1, gap_extend=3, mode="sw",
+                      free=(True,) * 4, outputs="stats", width="sat")
+    for b in range(3):
+        g = golden.align_seqs(qs[b], rs[b], m, 1, 3, "sw")
+        assert int(out["matches"][b]) == g.matches
+        assert int(out["length"][b]) == g.length
+
+
+def test_align_cigars_fallback_contract(monkeypatch):
+    """Off-envelope batches (host-walk fallback) return the SAME
+    score-class Alignments as the device path: is_trace() False, no
+    plane retained, identical CIGARs."""
+    monkeypatch.setattr(disp, "WAVEFRONT_TPU_MAX_SPAN", 8)
+    qs = _seqs(DNA, 3, 6, 12)
+    rs = _seqs(DNA, 3, 6, 12)
+    fast = Aligner.new().gap_open(5).gap_extend(2).local().build()
+    alns, cigs = fast.align_cigars(qs, rs)
+    tr = Aligner.new().gap_open(5).gap_extend(2).local().use_trace().build()
+    want = [a.get_cigar(q, r)
+            for a, q, r in zip(tr.align_batch(qs, rs), qs, rs)]
+    assert cigs == want
+    for a in alns:
+        assert not a.is_trace()
+        with pytest.raises(Exception):
+            a.get_trace_table()
+
+
+def test_sharded_trace_walk_honors_span_valve(monkeypatch):
+    """plan_sharded_route's trace_walk gate follows the engine's
+    sequential-scan valve, not a hardcoded span."""
+    from parasail_rs_tpu.dist.sharded import plan_sharded_route
+    from parasail_rs_tpu.engine import dispatch as d2
+
+    monkeypatch.setenv("PT_FORCE_PALLAS", "1")
+    vals = np.zeros((5, 5), np.int32)
+    kw = dict(outputs="stats", gap_open=1, gap_extend=3,
+              score_values=vals, Qp=16, Rp=16, shard_batch=128)
+    assert plan_sharded_route(**kw) == "trace_walk"
+    monkeypatch.setattr(d2, "WAVEFRONT_TPU_MAX_SPAN", 16)
+    assert plan_sharded_route(**kw) == "wavefront"
