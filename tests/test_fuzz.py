@@ -2,9 +2,10 @@
 
 Sweeps gap-penalty regimes that exercise different dispatch routes —
 open > ext (every output class Pallas-eligible), open <= ext (value
-outputs stay on the scan route via the min(open, ext) slope; stats fall
-back to the wavefront for payload tie semantics) — plus degenerate
-lengths, all through the public API.
+outputs stay on the scan route via the min(open, ext) slope; stats run
+the trace+device-walk route) — plus degenerate lengths, all through
+the public API.  Also fuzzes align_cigars (the device traceback walk)
+against per-pair get_cigar for every mode and regime.
 """
 
 import numpy as np
@@ -120,3 +121,59 @@ def test_cigar_score_reconstruction():
             # in every mode
             assert score == res.get_score(), (mode, q, r, score,
                                               res.get_score())
+
+
+@pytest.mark.parametrize("open_,ext", [(11, 1), (4, 4), (1, 3), (0, 0),
+                                       (0, 5), (3, 3)])
+def test_fuzz_align_cigars_all_modes(open_, ext):
+    """align_cigars (device traceback walk) == per-pair get_cigar for
+    random pairs across every mode and penalty regime, incl. degenerate
+    single-char sequences."""
+    rng = np.random.default_rng(1000 + open_ * 13 + ext)
+    m = Matrix.create(b"ACGT", 3, -2)
+    qs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(1, 40)).astype("uint8").tobytes()
+          for _ in range(16)]
+    rs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(1, 40)).astype("uint8").tobytes()
+          for _ in range(16)]
+    for setter, mode in MODES:
+        b1 = Aligner.new().matrix(m).gap_open(open_).gap_extend(ext)
+        getattr(b1, setter)()
+        tr = b1.use_trace().build()
+        want = [a.get_cigar(q, r)
+                for a, q, r in zip(tr.align_batch(qs, rs), qs, rs)]
+        b2 = Aligner.new().matrix(m).gap_open(open_).gap_extend(ext)
+        getattr(b2, setter)()
+        alns, cigs = b2.build().align_cigars(qs, rs)
+        assert cigs == want, (mode, open_, ext)
+        for a, q, r in zip(alns, qs, rs):
+            g = golden.align_seqs(q, r, m, open_, ext, mode)
+            assert a.get_score() == g.score
+
+
+def test_fuzz_stats_walk_route_widths():
+    """Stats at open <= ext via the trace_walk route across solution
+    widths (the width knob only affects saturation flags; counts stay
+    golden-exact)."""
+    import os
+    import unittest.mock as umock
+
+    rng = np.random.default_rng(404)
+    m = Matrix.create(b"ACGT", 3, -2)
+    qs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(2, 30)).astype("uint8").tobytes()
+          for _ in range(8)]
+    rs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(2, 30)).astype("uint8").tobytes()
+          for _ in range(8)]
+    for width in ("sat", 8, 16, 32, 64):
+        al = (Aligner.new().matrix(m).gap_open(2).gap_extend(3)
+              .solution_width(width).use_stats().local().build())
+        with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+            res = al.align_batch(qs, rs)
+        for a, q, r in zip(res, qs, rs):
+            g = golden.align_seqs(q, r, m, 2, 3, "sw")
+            assert (a.get_score(), a.get_matches(), a.get_similar(),
+                    a.get_length()) == (g.score, g.matches, g.similar,
+                                        g.length), (width, q, r)
