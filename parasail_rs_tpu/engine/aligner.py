@@ -876,32 +876,61 @@ class Aligner:
             for k, a in zip(live, a2):
                 bqs[k] = eqs[k] - a.get_end_query()
                 brs[k] = ers[k] - a.get_end_ref()
-            # pass 3: window trace + walk
+            # pass 3: window trace + walk.  Windows bin by padded shape;
+            # each bin takes the device walk when its trace plane fits a
+            # device route (the flag plane never transfers), else the
+            # plane + host walk.
+            from ..batch import merge_bins, plan_bins
+            from ..ops.trace_walk import ops_to_runs
+
             qw = [qs[k][bqs[k]:eqs[k] + 1] for k in live]
             rw = [refs[k][brs[k]:ers[k] + 1] for k in live]
-            a3 = sub("trace", "nw", False).align_many(qw, rw)
-            traces = [a.fields["trace_table"] for a in a3]
-            ends_q = [len(q) - 1 for q in qw]
-            ends_r = [len(r) - 1 for r in rw]
-            walked = walker.walk_batch(
-                traces, qw, rw, ends_q, ends_r,
-                local=False, qb=False, db=False, merge_m=True)
-            for i, k in enumerate(live):
-                if walked is not None:
-                    packed, _, _ = walked[i]
-                    cigars[k] = np.asarray(packed, dtype=np.uint32)
-                else:
-                    w = walk_trace(traces[i], qw[i], rw[i],
-                                   ends_q[i], ends_r[i], "nw")
-                    runs: list[int] = []
-                    for cnt, op in w.ops:
-                        op = "M" if op in ("=", "X") else op
-                        if runs and (runs[-1] & 0xF) == \
-                                "MIDNSHP=XB".index(op):
-                            runs[-1] += cnt << 4
-                        else:
-                            runs.append(cigar_encode(cnt, op))
-                    cigars[k] = np.asarray(runs, dtype=np.uint32)
+            nwal = sub("trace", "nw", False)
+            bins = merge_bins(
+                plan_bins([len(q) for q in qw], [len(r) for r in rw],
+                          max_cells=1 << 28, lane_quantum=1),
+                max_launches=16, max_cells=1 << 28)
+            for bin_ in bins:
+                idx = bin_.indices
+                bq_ = [qw[i] for i in idx]
+                br_ = [rw[i] for i in idx]
+                batch, bql, brl = nwal._pack(bq_, br_, Qp=bin_.qp,
+                                             Rp=bin_.rp)
+                route, _ = dispatch.plan_route(batch, "trace",
+                                               self.gap_open,
+                                               self.gap_extend)
+                if (batch.qp + batch.rp <= dispatch.WAVEFRONT_TPU_MAX_SPAN
+                        and route in ("pallas", "wavefront")):
+                    _, ops_host, _b, _r = nwal._device_trace_walk(batch)
+                    for k, i in enumerate(idx):
+                        cigars[live[i]] = ops_to_runs(ops_host[k],
+                                                      merge_m=True)
+                    continue
+                a3 = nwal._run_packed(batch, bql, brl)
+                traces = [a.fields["trace_table"] for a in a3]
+                ends_q = [len(q) - 1 for q in bq_]
+                ends_r = [len(r) - 1 for r in br_]
+                walked = walker.walk_batch(
+                    traces, bq_, br_, ends_q, ends_r,
+                    local=False, qb=False, db=False, merge_m=True)
+                for k, i in enumerate(idx):
+                    if walked is not None:
+                        packed, _, _ = walked[k]
+                        cigars[live[i]] = np.asarray(packed,
+                                                     dtype=np.uint32)
+                    else:
+                        w = walk_trace(traces[k], bq_[k], br_[k],
+                                       ends_q[k], ends_r[k], "nw")
+                        runs: list[int] = []
+                        for cnt, op in w.ops:
+                            op = "M" if op in ("=", "X") else op
+                            if runs and (runs[-1] & 0xF) == \
+                                    "MIDNSHP=XB".index(op):
+                                runs[-1] += cnt << 4
+                            else:
+                                runs.append(cigar_encode(cnt, op))
+                        cigars[live[i]] = np.asarray(runs,
+                                                     dtype=np.uint32)
 
         results = []
         for k in range(n):
