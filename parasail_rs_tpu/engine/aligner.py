@@ -499,10 +499,12 @@ class Aligner:
         Falls back to the trace-plane + host-walk path when the batch
         cannot take a device route that leaves the plane device-side
         (e.g. spans beyond the TPU sequential-scan valve).
-        """
-        from ..constants import cigar_runs_string
-        from ..ops.trace_walk import ops_to_runs
 
+        Mixed-length inputs are length-binned like :meth:`align_many`
+        (trace planes are cell-sized, so one tile for a 100bp pair in a
+        2kbp batch would waste 99% of its cells); results return in
+        input order.
+        """
         refs = [_as_bytes(r) for r in references]
         if not refs:
             return [], []
@@ -510,7 +512,8 @@ class Aligner:
             queries = None
             qseqs = [self.profile.query] * len(refs)
         else:
-            queries = qseqs = [_as_bytes(q) for q in queries]
+            queries = [_as_bytes(q) for q in queries]
+            qseqs = queries
         # result objects are score-class (no trace plane materializes)
         res_key = KernelKey(mode=self.key.mode, free=self.key.free,
                             outputs="score", strategy=self.key.strategy,
@@ -520,7 +523,38 @@ class Aligner:
             key=res_key, matrix=self.matrix, gap_open=self.gap_open,
             gap_extend=self.gap_extend, profile=self.profile,
             bandwidth=None)
-        batch, qlens, rlens = self._pack(queries, refs)
+        n = len(refs)
+        qlens_all = ([self.profile.query_len] * n if queries is None
+                     else [len(q) for q in queries])
+        from ..batch import merge_bins, plan_bins
+
+        bins = merge_bins(
+            plan_bins(qlens_all, [len(r) for r in refs],
+                      max_cells=1 << 28, lane_quantum=1),
+            max_launches=16, max_cells=1 << 28)
+        if len(bins) == 1:
+            return self._align_cigars_shape(
+                queries, refs, qseqs, res_al, bins[0].qp, bins[0].rp)
+        alns: list = [None] * n
+        cigs: list = [None] * n
+        for bin_ in bins:
+            idx = bin_.indices
+            a, c = self._align_cigars_shape(
+                None if queries is None else [queries[i] for i in idx],
+                [refs[i] for i in idx], [qseqs[i] for i in idx],
+                res_al, bin_.qp, bin_.rp)
+            for k, i in enumerate(idx):
+                alns[i] = a[k]
+                cigs[i] = c[k]
+        return alns, cigs
+
+    def _align_cigars_shape(self, queries, refs, qseqs, res_al, Qp, Rp):
+        """One shape bin of :meth:`align_cigars`."""
+        from ..constants import cigar_runs_string
+        from ..ops.trace_walk import ops_to_runs
+
+        res_key = res_al.key
+        batch, qlens, rlens = self._pack(queries, refs, Qp=Qp, Rp=Rp)
         route, _ = dispatch.plan_route(batch, "trace", self.gap_open,
                                        self.gap_extend)
         if (batch.qp + batch.rp > dispatch.WAVEFRONT_TPU_MAX_SPAN

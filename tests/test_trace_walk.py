@@ -319,3 +319,19 @@ def test_sharded_trace_walk_honors_span_valve(monkeypatch):
     assert plan_sharded_route(**kw) == "trace_walk"
     monkeypatch.setattr(d2, "WAVEFRONT_TPU_MAX_SPAN", 16)
     assert plan_sharded_route(**kw) == "wavefront"
+
+
+def test_align_cigars_mixed_lengths_binned():
+    """Mixed-length align_cigars length-bins internally (cell-sized
+    planes) and returns input-order results identical to per-pair
+    get_cigar."""
+    qs = _seqs(DNA, 4, 4, 10) + _seqs(DNA, 4, 200, 400) + _seqs(DNA, 4, 30, 60)
+    rs = _seqs(DNA, 4, 4, 10) + _seqs(DNA, 4, 200, 400) + _seqs(DNA, 4, 30, 60)
+    tr = Aligner.new().gap_open(4).gap_extend(1).local().use_trace().build()
+    want = [a.get_cigar(q, r)
+            for a, q, r in zip(tr.align_batch(qs, rs), qs, rs)]
+    fast = Aligner.new().gap_open(4).gap_extend(1).local().build()
+    alns, cigs = fast.align_cigars(qs, rs)
+    assert cigs == want
+    assert [a.get_score() for a in alns] == \
+        [a.get_score() for a in tr.align_batch(qs, rs)]
