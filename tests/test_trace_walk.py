@@ -335,3 +335,20 @@ def test_align_cigars_mixed_lengths_binned():
     assert cigs == want
     assert [a.get_score() for a in alns] == \
         [a.get_score() for a in tr.align_batch(qs, rs)]
+
+
+def test_align_many_stats_open_le_ext_binned():
+    """align_many composes bins with the trace_walk route (stats at
+    open <= ext): fetch_all handles the packed forms, results return in
+    input order, golden-exact."""
+    qs = _seqs(DNA, 6, 4, 20) + _seqs(DNA, 6, 100, 200)
+    rs = _seqs(DNA, 6, 4, 20) + _seqs(DNA, 6, 100, 200)
+    al = (Aligner.new().gap_open(1).gap_extend(3).local().use_stats()
+          .build())
+    with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        res = al.align_many(qs, rs)
+    for a, q, r in zip(res, qs, rs):
+        g = align_seqs(q, r, al.matrix, 1, 3, "sw")
+        assert (a.get_score(), a.get_matches(), a.get_similar(),
+                a.get_length()) == (g.score, g.matches, g.similar,
+                                    g.length)
