@@ -79,28 +79,35 @@ def merge_bins(bins: list[Bin], *, max_launches: int,
     """
     if len(bins) <= max_launches:
         return bins
-    bins = [Bin(b.qp, b.rp, list(b.indices)) for b in bins]
+    # Vectorized greedy: each step evaluates every candidate pair with
+    # numpy outer ops instead of a Python double loop.  The pure-Python
+    # scan (with len*qp*rp recomputed through dataclass attribute
+    # access) cost ~170 ms of HOST time per 256-pair mixed batch — more
+    # than the kernels it was scheduling (cfg5 probe, 2026-08-20).
+    import numpy as np
 
-    def cells(b: Bin) -> int:
-        return len(b.indices) * b.qp * b.rp
-
-    while len(bins) > max_launches:
-        best = None
-        for i in range(len(bins)):
-            for j in range(i + 1, len(bins)):
-                a, b = bins[i], bins[j]
-                qp, rp = max(a.qp, b.qp), max(a.rp, b.rp)
-                merged = (len(a.indices) + len(b.indices)) * qp * rp
-                if merged > max_cells:
-                    continue
-                extra = merged - cells(a) - cells(b)
-                if best is None or extra < best[0]:
-                    best = (extra, i, j, qp, rp)
-        if best is None:
+    qs = np.array([b.qp for b in bins], np.int64)
+    rs = np.array([b.rp for b in bins], np.int64)
+    ns = np.array([len(b.indices) for b in bins], np.int64)
+    idxs = [list(b.indices) for b in bins]
+    while len(qs) > max_launches:
+        qp2 = np.maximum.outer(qs, qs)
+        rp2 = np.maximum.outer(rs, rs)
+        merged = (ns[:, None] + ns[None, :]) * qp2 * rp2
+        cel = ns * qs * rs
+        extra = merged - cel[:, None] - cel[None, :]
+        bad = (merged > max_cells) | np.tri(len(qs), dtype=bool)
+        extra[bad] = np.iinfo(np.int64).max
+        k = int(extra.argmin())
+        i, j = divmod(k, len(qs))
+        if bad[i, j]:
             break  # nothing merges under max_cells
-        _, i, j, qp, rp = best
-        bins[i] = Bin(qp=qp, rp=rp,
-                      indices=bins[i].indices + bins[j].indices)
-        bins.pop(j)
+        qs[i], rs[i], ns[i] = qp2[i, j], rp2[i, j], ns[i] + ns[j]
+        idxs[i] = idxs[i] + idxs[j]
+        keep = np.arange(len(qs)) != j
+        qs, rs, ns = qs[keep], rs[keep], ns[keep]
+        idxs.pop(j)
+    bins = [Bin(qp=int(q), rp=int(r), indices=ix)
+            for q, r, ix in zip(qs, rs, idxs)]
     bins.sort(key=lambda b: (-b.qp * b.rp, -len(b.indices)))
     return bins

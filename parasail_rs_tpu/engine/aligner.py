@@ -45,7 +45,10 @@ _CIGAR_FUSE = None
 def _cigar_fuse():
     """Jitted (opcode rows, packed scalars, begin coords) -> one int32
     array so the walk paths pay a single device->host transfer
-    (align_cigars / ssw_batch)."""
+    (align_cigars / ssw_batch).  Opcodes (values 0-4) nibble-pack two
+    per byte before the bitcast — the dev channel moves ~13 MB/s after
+    degrade, so halving the dominant payload is ~8 ms per 512-pair
+    batch (probe_cfg45, 2026-08-20)."""
     global _CIGAR_FUSE
     if _CIGAR_FUSE is None:
         import jax
@@ -55,14 +58,25 @@ def _cigar_fuse():
             if pad:
                 ops = jnp.pad(ops, ((0, 0), (0, pad)))
             Bp = ops.shape[0]
+            nib = ops[:, ::2] | (ops[:, 1::2] << 4)      # (Bp, Lp/2)
             words = jax.lax.bitcast_convert_type(
-                ops.reshape(Bp, -1, 4), jnp.int32)       # (Bp, Lw)
+                nib.reshape(Bp, -1, 4), jnp.int32)       # (Bp, Lp/8)
             return jnp.concatenate(
                 [packed.astype(jnp.int32), bq[None].astype(jnp.int32),
                  br[None].astype(jnp.int32), words.T], axis=0)
 
         _CIGAR_FUSE = jax.jit(fuse, static_argnums=4)
     return _CIGAR_FUSE
+
+
+def _unpack_nibbles(words: np.ndarray, B: int, L: int) -> np.ndarray:
+    """(Lw, Bp) int32 rows from :func:`_cigar_fuse` -> (B, L) uint8
+    opcode rows (inverse of the nibble pack)."""
+    by = np.ascontiguousarray(words.T).view(np.uint8)    # (Bp, Lw*4)
+    ops = np.empty((B, by.shape[1] * 2), np.uint8)
+    ops[:, 0::2] = by[:B] & 0xF
+    ops[:, 1::2] = by[:B] >> 4
+    return ops[:, :L]
 
 
 class AlignerBuilder:
@@ -551,7 +565,7 @@ class Aligner:
     def _align_cigars_shape(self, queries, refs, qseqs, res_al, Qp, Rp):
         """One shape bin of :meth:`align_cigars`."""
         from ..constants import cigar_runs_string
-        from ..ops.trace_walk import ops_to_runs
+        from ..ops.trace_walk import ops_to_runs_batch
 
         res_key = res_al.key
         batch, qlens, rlens = self._pack(queries, refs, Qp=Qp, Rp=Rp)
@@ -578,8 +592,9 @@ class Aligner:
         out, ops_host, _bq, _br = self._device_trace_walk(
             batch, qseq=None if self.profile.is_null else self.profile.query)
         alns = res_al._alignments_from(out, qlens, rlens)
-        cigs = [cigar_runs_string(ops_to_runs(ops_host[b]))
-                for b in range(batch.size)]
+        with stages.stage("encode"):
+            cigs = [cigar_runs_string(runs)
+                    for runs in ops_to_runs_batch(ops_host[:batch.size])]
         return alns, cigs
 
     def _device_trace_walk(self, batch, qseq: bytes | None = None):
@@ -645,11 +660,12 @@ class Aligner:
             self.key.mode, self.key.free)
         L = ops_dev.shape[1]
         if pend._packed is not None:
-            # ONE device->host transfer: bitcast the opcode rows to int32
-            # words and concatenate with scalars + begin coords
-            Lw = (L + 3) // 4
+            # ONE device->host transfer: nibble-pack the opcode rows,
+            # bitcast to int32 words, concatenate with scalars + begin
+            # coords
+            Lp = (L + 7) // 8 * 8
             fused = _cigar_fuse()(ops_dev, packed, bq_dev, br_dev,
-                                  Lw * 4 - L)
+                                  Lp - L)
             copy = getattr(fused, "copy_to_host_async", None)
             if copy is not None:
                 copy()
@@ -658,8 +674,7 @@ class Aligner:
             nn = len(names)
             out = dispatch._unpack_scalars(names, host[:nn], {}, B)
             bq, br = host[nn, :B], host[nn + 1, :B]
-            words = np.ascontiguousarray(host[nn + 2:].T)  # (Bp, Lw) i32
-            ops_host = words.view(np.uint8)[:B, :L]
+            ops_host = _unpack_nibbles(host[nn + 2:], B, L)
         else:
             prefetch = [v for k, v in dev.items() if k != "trace_table"]
             for a in (*prefetch, ops_dev, bq_dev, br_dev):
@@ -798,10 +813,12 @@ class Aligner:
                 and route in ("pallas", "wavefront")):
             # device walk: begins + merged-M CIGAR runs without ever
             # shipping the flag plane (same path as align_cigars)
-            from ..ops.trace_walk import ops_to_runs
+            from ..ops.trace_walk import ops_to_runs_batch
 
             out, ops_host, bqs, brs = sw._device_trace_walk(
                 batch, qseq=self.profile.query if use_profile else None)
+            runs_all = ops_to_runs_batch(ops_host[:batch.size],
+                                         merge_m=True)
             promoted = np.asarray(
                 out.get("promoted", np.zeros(batch.size, bool)))
             results = []
@@ -818,7 +835,7 @@ class Aligner:
                     ref_end1=int(out["end_ref"][k]),
                     read_begin1=int(bqs[k]),
                     read_end1=int(out["end_query"][k]),
-                    _cigar=ops_to_runs(ops_host[k], merge_m=True),
+                    _cigar=runs_all[k],
                 ))
             return results
         alns = sw._run_packed(batch, qlens, rlens)
@@ -915,7 +932,7 @@ class Aligner:
             # device route (the flag plane never transfers), else the
             # plane + host walk.
             from ..batch import merge_bins, plan_bins
-            from ..ops.trace_walk import ops_to_runs
+            from ..ops.trace_walk import ops_to_runs_batch
 
             qw = [qs[k][bqs[k]:eqs[k] + 1] for k in live]
             rw = [refs[k][brs[k]:ers[k] + 1] for k in live]
@@ -936,9 +953,10 @@ class Aligner:
                 if (batch.qp + batch.rp <= dispatch.WAVEFRONT_TPU_MAX_SPAN
                         and route in ("pallas", "wavefront")):
                     _, ops_host, _b, _r = nwal._device_trace_walk(batch)
+                    bruns = ops_to_runs_batch(ops_host[:len(idx)],
+                                              merge_m=True)
                     for k, i in enumerate(idx):
-                        cigars[live[i]] = ops_to_runs(ops_host[k],
-                                                      merge_m=True)
+                        cigars[live[i]] = bruns[k]
                     continue
                 a3 = nwal._run_packed(batch, bql, brl)
                 traces = [a.fields["trace_table"] for a in a3]

@@ -721,12 +721,16 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
     def padb(x):
         if pad == 0:
             return x
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         if isinstance(x, np.ndarray):
-            return np.pad(x, widths)
+            # np.pad's python machinery costs ~0.7 ms/call (32 ms per
+            # 8-bin mixed batch, cfg5 profile 2026-08-20); a zeros +
+            # row-assign is ~5x cheaper
+            out = np.zeros((x.shape[0] + pad,) + x.shape[1:], x.dtype)
+            out[:x.shape[0]] = x
+            return out
         import jax.numpy as jnp
 
-        return jnp.pad(x, widths)
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
     shared = batch.shared_query
     stats = outputs in ("stats", "stats_table", "stats_rowcol")

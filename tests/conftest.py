@@ -34,6 +34,22 @@ def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()} ({len(jax.devices())} devices)"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    The full suite compiles 1000+ distinct XLA CPU programs in one
+    process; past a threshold the NEXT compile segfaults inside
+    LLVM (jax 0.9.0 CPU backend — deterministic at the same test across
+    runs, absent when any subset runs alone).  Freeing executables
+    between modules keeps the live-code footprint under that threshold;
+    per-module recompiles are cheap (each module re-warms only what it
+    uses).
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def fixtures_dir():
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")

@@ -352,3 +352,26 @@ def test_align_many_stats_open_le_ext_binned():
         assert (a.get_score(), a.get_matches(), a.get_similar(),
                 a.get_length()) == (g.score, g.matches, g.similar,
                                     g.length)
+
+
+def test_ops_to_runs_batch_matches_per_pair():
+    """The vectorized batch RLE is output-identical to the per-pair
+    ops_to_runs for every row shape: empty walks, full-length walks,
+    single runs, and alternating ops — with and without M-merging."""
+    from parasail_rs_tpu.ops.trace_walk import ops_to_runs, ops_to_runs_batch
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for n in (0, 1, 5, 37, 64):
+        row = np.zeros(64, np.uint8)
+        row[:n] = rng.integers(1, 5, n)
+        rows.append(row)
+    rows.append(np.full(64, 2, np.uint8))          # one long run
+    rows.append(np.tile([1, 3], 32).astype(np.uint8))  # maximal run count
+    ops = np.stack(rows)
+    for merge_m in (False, True):
+        got = ops_to_runs_batch(ops, merge_m=merge_m)
+        want = [ops_to_runs(r, merge_m=merge_m) for r in ops]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
