@@ -564,8 +564,8 @@ class Aligner:
 
     def _align_cigars_shape(self, queries, refs, qseqs, res_al, Qp, Rp):
         """One shape bin of :meth:`align_cigars`."""
-        from ..constants import cigar_runs_string
-        from ..ops.trace_walk import ops_to_runs_batch
+        from ..constants import cigar_strings_batch
+        from ..ops.trace_walk import ops_to_runs_flat
 
         res_key = res_al.key
         batch, qlens, rlens = self._pack(queries, refs, Qp=Qp, Rp=Rp)
@@ -592,9 +592,12 @@ class Aligner:
         out, ops_host, _bq, _br = self._device_trace_walk(
             batch, qseq=None if self.profile.is_null else self.profile.query)
         alns = res_al._alignments_from(out, qlens, rlens)
-        with stages.stage("encode"):
-            cigs = [cigar_runs_string(runs)
-                    for runs in ops_to_runs_batch(ops_host[:batch.size])]
+        # gc_pause: the string build allocates ~30 gc-tracked objects
+        # per pair; at 4096 pairs an untimely cyclic collection over the
+        # just-built Alignment set cost 750 ms (stage probe 2026-08-20)
+        with stages.stage("encode"), gc_pause(batch.size * 8):
+            cigs = cigar_strings_batch(
+                *ops_to_runs_flat(ops_host[:batch.size]))
         return alns, cigs
 
     def _device_trace_walk(self, batch, qseq: bytes | None = None):
@@ -617,6 +620,7 @@ class Aligner:
         """
         from ..ops.trace_walk import device_walk
 
+        batch.to_device()   # kernel + walk share one plane upload
         pend = dispatch.execute(
             batch, gap_open=self.gap_open, gap_extend=self.gap_extend,
             mode=self.key.mode, free=self.key.free, outputs="trace",

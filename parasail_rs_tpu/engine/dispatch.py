@@ -96,6 +96,33 @@ class PairBatch:
         """True for profile-reuse batches (one query, broadcast)."""
         return self._qidx is not None and self._qidx.shape[0] == 1
 
+    def to_device(self) -> "PairBatch":
+        """Commit the symbol planes to the device ONCE, in place.
+
+        Paths that feed the planes to MULTIPLE jits (trace kernel +
+        device walk, or kernel + lazy ``qidx`` encode) would otherwise
+        re-upload the same numpy arrays per call — each h2d of a
+        (4096, 160) uint8 plane costs ~40 ms through the degraded dev
+        channel (probe 2026-08-20), dominating align_cigars e2e.  A
+        committed jax array is reused by every consumer for free.
+        """
+        import jax
+
+        qb, rb = self.qbytes, self.rbytes
+        if (isinstance(qb, np.ndarray) and isinstance(rb, np.ndarray)
+                and qb.shape[0] == rb.shape[0]):
+            # one upload, sliced on device: each degraded-channel h2d
+            # pays a fixed ~12-25 ms on top of bandwidth
+            cat = jax.device_put(np.concatenate([qb, rb], axis=1))
+            self.qbytes = cat[:, :qb.shape[1]]
+            self.rbytes = cat[:, qb.shape[1]:]
+            return self
+        if isinstance(qb, np.ndarray):
+            self.qbytes = jax.device_put(qb)
+        if isinstance(rb, np.ndarray):
+            self.rbytes = jax.device_put(rb)
+        return self
+
     @property
     def score_values(self) -> np.ndarray:
         return self.table if self.table is not None else self.profile
@@ -949,6 +976,7 @@ def _execute_stats_via_walk(batch, *, gap_open, gap_extend, mode, free,
 
     from ..ops.trace_walk import device_walk_stats
 
+    batch.to_device()   # kernel + lazy qidx/ridx encode share uploads
     pend = _execute_pallas_or_fallback(
         batch, gap_open=gap_open, gap_extend=gap_extend, mode=mode,
         free=free, width=width, outputs="trace", fetch=False)
