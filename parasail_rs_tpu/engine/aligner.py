@@ -447,6 +447,10 @@ class Aligner:
             idx = bin_.indices
             batch, bql, brl = self._pack(
                 qsel(idx), [refs[i] for i in idx], Qp=bin_.qp, Rp=bin_.rp)
+            if batch.qbytes is not None:
+                # one concatenated plane upload per bin: the dev channel
+                # charges a fixed ~12-25 ms per h2d on top of bandwidth
+                batch.to_device()
             pending.append((idx, self._execute(batch, fetch=cell_sized),
                             bql, brl))
         # scalar outputs: ONE combined device->host transfer for every

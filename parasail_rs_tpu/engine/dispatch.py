@@ -748,16 +748,15 @@ def _execute_pallas(batch, *, gap_open, gap_extend, mode, free, width,
     def padb(x):
         if pad == 0:
             return x
-        if isinstance(x, np.ndarray):
-            # np.pad's python machinery costs ~0.7 ms/call (32 ms per
-            # 8-bin mixed batch, cfg5 profile 2026-08-20); a zeros +
-            # row-assign is ~5x cheaper
-            out = np.zeros((x.shape[0] + pad,) + x.shape[1:], x.dtype)
-            out[:x.shape[0]] = x
-            return out
+        # pad on DEVICE: uploading host-padded rows ships up to 5x the
+        # actual bytes (a 25-pair bin pads to 128 lanes), and the dev
+        # channel charges ~45 MB/s + fixed per-upload cost; jnp.pad on
+        # the unpadded upload is device-side and free by comparison
+        # (np.pad's python machinery also cost ~0.7 ms/call, cfg5
+        # profile 2026-08-20)
         import jax.numpy as jnp
 
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        return jnp.pad(jnp.asarray(x), [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
     shared = batch.shared_query
     stats = outputs in ("stats", "stats_table", "stats_rowcol")
