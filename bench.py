@@ -793,6 +793,15 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
             out["cfg4b_amortized_cigars_per_sec"] = round(n4b / dt)
             out["cfg4b_pairs"] = n4b
             out["cfg4b_spread"] = spread
+            with _stages.measuring():
+                guard("cfg4b_staged", cig4b, timeout=240)
+                snap4b = _stages.snapshot()
+            host4b = sum(v["ms"] for k, v in snap4b.items()
+                         if k != "fetch")
+            proj4b = project(host4b, n4b * 160 * 160, factor=2.0)
+            if proj4b is not None:
+                out["cfg4b_projected_direct_attach_cigars_per_sec"] = \
+                    round(n4b / (proj4b / 1e3))
             checkpoint()
             print(f"[bench] cfg4b amortized CIGARs {n4b} pairs: "
                   f"{dt*1e3:.0f} ms ({n4b/dt:.0f} CIGARs/s e2e)",
