@@ -218,6 +218,11 @@ class StreamingAligner:
         queries = (None if bucket.queries[0] is None else bucket.queries)
         batch, qlens, rlens = a._pack(queries, bucket.references,
                                       Qp=bucket.qp, Rp=bucket.rp)
+        if batch.qbytes is not None:
+            # one concatenated symbol-plane upload per bucket (the dev
+            # channel charges a fixed ~12-25 ms per h2d); the upload
+            # streams while earlier buckets compute
+            batch.to_device()
         pending = dispatch.execute(
             batch,
             gap_open=a.gap_open, gap_extend=a.gap_extend,
