@@ -426,6 +426,12 @@ def execute(
             if not fetch:
                 return res
             out = res.fetch()
+        elif route == "stream_walk":
+            out = _execute_stats_via_stream_walk(
+                batch, gap_open=gap_open, gap_extend=gap_extend,
+                mode=mode, free=free, width=kernel_width)
+            if not fetch:
+                return PendingResult(device_out=dict(out))
         elif route == "stream":
             out = _execute_streamed_or_fallback(
                 batch, gap_open=gap_open, gap_extend=gap_extend,
@@ -554,6 +560,14 @@ def plan_route(batch: PairBatch, outputs: str, gap_open: int,
             batch.qp + batch.rp <= WAVEFRONT_TPU_MAX_SPAN:
         return "trace_walk", "stats via trace flags + device walk " \
             "(gap_open <= gap_extend payload ties)"
+    if outputs == "stats" and gap_open <= gap_extend and \
+            _use_streaming(batch, "trace", gap_open, gap_extend):
+        from ..native import walker
+
+        if walker._load() is not None:
+            return "stream_walk", (
+                "stats via streamed trace plane + native host walk "
+                "(gap_open <= gap_extend beyond the one-shot envelope)")
     if outputs in ("score", "stats", "trace") and \
             _use_streaming(batch, outputs, gap_open, gap_extend):
         return "stream", reason
@@ -957,6 +971,95 @@ def _execute_pallas_streamed(batch, *, gap_open, gap_extend, mode, free,
 
 
 _STATS_FUSE_JIT = {}
+
+
+def _execute_stats_via_stream_walk(batch, *, gap_open, gap_extend, mode,
+                                   free, width):
+    """Stats for gap_open <= gap_extend BEYOND the one-shot trace
+    envelope: streamed trace segments fill the host flag plane (exact
+    for every penalty pair), the native OpenMP walker traces every pair
+    back, and golden's matches/similar/length replay forward over the
+    CIGAR runs with vectorized numpy per diagonal span.
+
+    This upgrades the former fallback — the XLA wavefront, which beyond
+    the TPU sequential-scan valve runs on the host CPU backend at
+    ~100x the streamed kernel's cost — to streamed-kernel speed for
+    every batch whose flag plane fits the streamed-trace host bound.
+    Gated in plan_route on the native walker being available (a pure-
+    Python plane walk at 16kbp would erase the win).
+    """
+    from ..native import walker
+
+    out = _execute_streamed_or_fallback(
+        batch, gap_open=gap_open, gap_extend=gap_extend, mode=mode,
+        free=free, width=width, outputs="trace")
+    out = {k: np.asarray(v) for k, v in out.items()}
+    trace = out.pop("trace_table")
+    B = batch.size
+    qlens = [int(v) for v in batch.qlen]
+    rlens = [int(v) for v in batch.rlen]
+    # mapped symbol indices on HOST (no device fetch): the stats
+    # semantics compare mapped indices (case/wildcard folding), and the
+    # walker only needs byte buffers whose equality matches them
+    mapper = np.asarray(batch.mapper, np.int32)
+    if batch.qbytes is not None and isinstance(batch.qbytes, np.ndarray):
+        qidx_h = np.take(mapper, batch.qbytes.astype(np.int32))
+    else:
+        qidx_h = np.asarray(batch.qidx)
+    if batch.rbytes is not None and isinstance(batch.rbytes, np.ndarray):
+        ridx_h = np.take(mapper, batch.rbytes.astype(np.int32))
+    else:
+        ridx_h = np.asarray(batch.ridx)
+    shared_q = qidx_h.shape[0] == 1
+    qrow = lambda b: qidx_h[0 if shared_q else b]
+    qb_, _qe, db_, _de = (True,) * 4 if mode == "sw" else free
+    qsyms = [np.clip(qrow(b)[:qlens[b]], 0, 255).astype(np.uint8)
+             for b in range(B)]
+    rsyms = [np.clip(ridx_h[b, :rlens[b]], 0, 255).astype(np.uint8)
+             for b in range(B)]
+    walked = walker.walk_batch(
+        [trace[b, :qlens[b], :rlens[b]] for b in range(B)],
+        qsyms, rsyms, out["end_query"].tolist(), out["end_ref"].tolist(),
+        local=mode == "sw", qb=qb_, db=db_)
+    if walked is None:  # library vanished between gate and call
+        wf = _wavefront_exec(
+            batch, gap_open=gap_open, gap_extend=gap_extend, mode=mode,
+            free=free, outputs="stats", width=width)
+        return {k: np.asarray(v) for k, v in wf.items()}
+    table = (None if batch.table is None
+             else np.asarray(batch.table, np.int64))
+    prof = (None if batch.profile is None
+            else np.asarray(batch.profile, np.int64))
+    matches = np.zeros(B, np.int32)
+    similar = np.zeros(B, np.int32)
+    length = np.zeros(B, np.int32)
+    for b in range(B):
+        runs, bq, br = walked[b]
+        i, j, m, s, ln = int(bq), int(br), 0, 0, 0
+        qi = qrow(b)
+        ri = ridx_h[b]
+        for v in np.asarray(runs, np.uint32).tolist():
+            n, op = v >> 4, v & 0xF
+            ln += n
+            if op in (7, 8):            # '=' / 'X': diagonal span
+                qs_ = qi[i:i + n]
+                rs_ = ri[j:j + n]
+                m += int((qs_ == rs_).sum())
+                if table is not None:
+                    sv = table[np.clip(qs_, 0, table.shape[0] - 1), rs_]
+                else:
+                    p = prof[0 if prof.shape[0] == 1 else b]
+                    sv = p[np.arange(i, i + n), rs_]
+                s += int((sv > 0).sum())
+                i += n
+                j += n
+            elif op == 1:               # I consumes query
+                i += n
+            elif op == 2:               # D consumes reference
+                j += n
+        matches[b], similar[b], length[b] = m, s, ln
+    out.update(matches=matches, similar=similar, length=length)
+    return out
 
 
 def _execute_stats_via_walk(batch, *, gap_open, gap_extend, mode, free,

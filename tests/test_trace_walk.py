@@ -375,3 +375,91 @@ def test_ops_to_runs_batch_matches_per_pair():
         assert len(got) == len(want)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(g, w)
+
+
+def _walker_available():
+    from parasail_rs_tpu.native import walker
+
+    return walker._load() is not None
+
+
+@pytest.mark.skipif(not _walker_available(),
+                    reason="native walker unavailable")
+def test_stream_walk_stats_golden_exact():
+    """Stats at gap_open <= gap_extend BEYOND the one-shot envelope run
+    the streamed-trace + native-walk route, golden-exact (the former
+    fallback was the host-CPU wavefront)."""
+    import os
+    from parasail_rs_tpu.engine import dispatch as disp
+    from parasail_rs_tpu.golden import model as golden
+    from parasail_rs_tpu.matrices import Matrix
+
+    rng = np.random.default_rng(91)
+    m = Matrix.create(b"ACGT", 2, -3)
+    qs = [rng.choice(list(b"ACGT"), size=35).astype("uint8").tobytes()
+          for _ in range(3)]
+    rs = [rng.choice(list(b"ACGT"),
+                     size=rng.integers(300, 500)).astype("uint8").tobytes()
+          for _ in range(3)]
+    al = (Aligner.new().matrix(m).gap_open(1).gap_extend(3).local()
+          .use_stats().build())
+    batch, qlens, rlens = al._pack(qs, rs)
+    with umock.patch.dict(os.environ, {"PT_STREAM_SEG": "128"}):
+        out = disp._execute_stats_via_stream_walk(
+            batch, gap_open=1, gap_extend=3, mode="sw", free=(True,) * 4,
+            width="sat")
+    for i, (q, r) in enumerate(zip(qs, rs)):
+        g = golden.align_seqs(q, r, m, 1, 3, "sw")
+        got = (int(out["score"][i]), int(out["matches"][i]),
+               int(out["similar"][i]), int(out["length"][i]))
+        assert got == (g.score, g.matches, g.similar, g.length), (i, got)
+
+
+@pytest.mark.skipif(not _walker_available(),
+                    reason="native walker unavailable")
+def test_stream_walk_stats_sg_free_combo():
+    """The stream-walk stats route honors semi-global free-end flags
+    (penalized boundary runs count toward length, as in golden)."""
+    import os
+    from parasail_rs_tpu.engine import dispatch as disp
+    from parasail_rs_tpu.golden import model as golden
+    from parasail_rs_tpu.matrices import Matrix
+
+    rng = np.random.default_rng(17)
+    m = Matrix.create(b"ACGT", 2, -3)
+    free = (True, False, False, True)
+    qs = [rng.choice(list(b"ACGT"), size=30).astype("uint8").tobytes()
+          for _ in range(2)]
+    rs = [rng.choice(list(b"ACGT"), size=350).astype("uint8").tobytes()
+          for _ in range(2)]
+    al = (Aligner.new().matrix(m).gap_open(2).gap_extend(2)
+          .use_stats().build())
+    batch, qlens, rlens = al._pack(qs, rs)
+    with umock.patch.dict(os.environ, {"PT_STREAM_SEG": "128"}):
+        out = disp._execute_stats_via_stream_walk(
+            batch, gap_open=2, gap_extend=2, mode="sg", free=free,
+            width="sat")
+    for i, (q, r) in enumerate(zip(qs, rs)):
+        g = golden.align_seqs(q, r, m, 2, 2, "sg", free)
+        got = (int(out["score"][i]), int(out["matches"][i]),
+               int(out["similar"][i]), int(out["length"][i]))
+        assert got == (g.score, g.matches, g.similar, g.length), (i, got)
+
+
+def test_plan_route_stream_walk_beyond_envelope():
+    """A stats batch at gap_open <= gap_extend too big for the one-shot
+    trace envelope plans the stream_walk route (not the wavefront),
+    when the native walker is available."""
+    import os
+    from parasail_rs_tpu.engine import dispatch as disp
+
+    qs = [b"A" * 150]
+    rs = [b"A" * 16000]
+    al = Aligner.new().gap_open(1).gap_extend(3).local().use_stats().build()
+    batch, _, _ = al._pack(qs, rs)
+    with umock.patch.dict(os.environ, {"PT_FORCE_PALLAS": "1"}):
+        route, reason = disp.plan_route(batch, "stats", 1, 3)
+    if _walker_available():
+        assert route == "stream_walk", (route, reason)
+    else:
+        assert route == "wavefront", (route, reason)
