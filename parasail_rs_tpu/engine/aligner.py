@@ -16,6 +16,7 @@ disables trace; ``use_trace`` disables table and stats (with warnings);
 from __future__ import annotations
 
 import logging
+import threading
 
 import numpy as np
 
@@ -224,6 +225,16 @@ class AlignerBuilder:
             width=self._solution_width,
         )
         matrix = profile.matrix if has_profile else self._matrix
+        if outputs in ("stats", "stats_table", "stats_rowcol"):
+            # stats at gap_open <= gap_extend may route through the
+            # native host walker (dispatch.plan_route "stream_walk"),
+            # whose first _load() compiles the C++ extension; warm it
+            # off-thread at build time so no align() call pays the
+            # compile inline (walker._load is lock-guarded + cached)
+            from ..native import walker
+
+            threading.Thread(target=walker._load, daemon=True,
+                             name="parasail-walker-warm").start()
         return Aligner(
             key=key,
             matrix=matrix,

@@ -551,6 +551,12 @@ def plan_route(batch: PairBatch, outputs: str, gap_open: int,
     kernel's flag planes are exact for every penalty pair, so the stats
     are counted along the device traceback walk instead
     (ops/trace_walk.device_walk_stats) — still entirely on device.
+
+    Side effect: the "stream_walk" gate probes ``native.walker._load()``,
+    which on FIRST use may compile the C++ walker (a one-time
+    subprocess; cached thereafter).  ``AlignerBuilder.build()`` warms it
+    in the background for stats aligners so the first ``align`` call
+    does not pay it inline.
     """
     ok, reason = _pallas_gate(batch, outputs, gap_open, gap_extend)
     if ok:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -99,6 +100,7 @@ class StreamingAligner:
         self._lock = threading.RLock()
         self._seq = 0
         self._inflight: list[threading.Event] = []
+        self._undelivered = 0     # dispatched buckets not yet resolved
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._fetcher = threading.Thread(
             target=self._fetch_loop, daemon=True,
@@ -232,35 +234,75 @@ class StreamingAligner:
         ).start_transfer()   # overlap bucket transfers (one RTT, not N)
         done = threading.Event()
         self._inflight.append(done)
+        self._undelivered += 1
         self._queue.put((pending, qlens, rlens, bucket.handles, done))
 
     def _fetch_loop(self) -> None:
-        while True:
+        stop = False
+        while not stop:
             item = self._queue.get()
             if item is None:
                 return
-            pending, qlens, rlens, handles, done = item
+            # Micro-batch: when MORE buckets are already dispatched
+            # (burst submits, flush), wait briefly for their queue
+            # entries and fetch the whole group with ONE fused
+            # device->host transfer (dispatch.fetch_all).  The degraded
+            # dev channel charges a fixed ~25-65 ms blocking RTT per
+            # transfer regardless of size, so a 2-bucket flush pays one
+            # RTT instead of two (~2x on cfg7's fetch stage); with a
+            # single in-flight bucket this never delays its fetch.
+            items = [item]
+            t_wait = time.monotonic()
+            while len(items) < 16:
+                with self._lock:
+                    more = self._undelivered > len(items)
+                    # a bucket still accumulating on the submit thread
+                    # will dispatch within ~ms; waiting ≤50 ms for it
+                    # beats paying it a separate fetch RTT (~30-65 ms)
+                    filling = any(b.size for b in self._buckets.values())
+                if not more and not (filling
+                                     and time.monotonic() - t_wait < 0.05):
+                    break
+                try:
+                    nxt = self._queue.get(timeout=0.01)
+                except queue.Empty:
+                    continue
+                if nxt is None:
+                    stop = True
+                    break
+                items.append(nxt)
             try:
-                host = pending.fetch()
-                # columnar construction (~1.7 us/pair) — a per-pair
-                # _make_alignment loop costs ~13 us/pair, which at 16k
-                # pairs dwarfs the device kernels it postprocesses
-                alns = self._aligner._alignments_from(host, qlens, rlens)
-                for h, a in zip(handles, alns):
-                    h._value = a
-                    h._done = True
-            except Exception as e:  # propagate through result()
-                for h in handles:
-                    h._value = None
-                    h._error = e
-                    h._done = True
-            finally:
-                # fire events only after EVERY handle has its value —
-                # bulk-submitted handles share one bucket event, so an
-                # early set() would wake a waiter whose slot is unfilled
-                for ev in {h._event for h in handles}:
-                    ev.set()
-                done.set()
+                hosts = dispatch.fetch_all([it[0] for it in items])
+            except Exception:  # noqa: BLE001 — isolate failures per bucket
+                hosts = [None] * len(items)
+            for (pending, qlens, rlens, handles, done), host in zip(
+                    items, hosts):
+                try:
+                    if host is None:
+                        host = pending.fetch()
+                    # columnar construction (~1.7 us/pair) — a per-pair
+                    # _make_alignment loop costs ~13 us/pair, which at
+                    # 16k pairs dwarfs the device kernels it postprocesses
+                    alns = self._aligner._alignments_from(
+                        host, qlens, rlens)
+                    for h, a in zip(handles, alns):
+                        h._value = a
+                        h._done = True
+                except Exception as e:  # propagate through result()
+                    for h in handles:
+                        h._value = None
+                        h._error = e
+                        h._done = True
+                finally:
+                    # fire events only after EVERY handle has its value —
+                    # bulk-submitted handles share one bucket event; an
+                    # early set() would wake a waiter whose slot is
+                    # unfilled
+                    for ev in {h._event for h in handles}:
+                        ev.set()
+                    done.set()
+                    with self._lock:
+                        self._undelivered -= 1
 
     def flush(self) -> None:
         """Dispatch every partial bucket and wait for all in-flight
