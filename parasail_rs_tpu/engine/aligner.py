@@ -577,16 +577,37 @@ class Aligner:
                 cigs[i] = c[k]
         return alns, cigs
 
+    # pairs per device-walk launch: big batches split into sub-launches
+    # whose upload/kernel/walk/fuse enqueue BEFORE any fetch blocks, so
+    # chunk k's channel transfers overlap chunk k+1's device compute —
+    # the serial chain (upload 48 + kernel 20 + walk 41 + d2h 43 ms at
+    # 4096 pairs, probe 2026-08-20) pipelines down to ~max(channel,
+    # compute).  Swept 256/384/512/1024/2048 on the dev chip: 512 gives
+    # 4096 pairs in ~174-233 ms (17.6-23.5k CIGARs/s median, weather
+    # band) vs 242 ms at 2048; below 512 is flat within noise, so keep
+    # the larger launch (fewer dispatches, bounded tail-shape compiles).
+    _CIGAR_CHUNK = 512
+
     def _align_cigars_shape(self, queries, refs, qseqs, res_al, Qp, Rp):
         """One shape bin of :meth:`align_cigars`."""
         from ..constants import cigar_strings_batch
         from ..ops.trace_walk import ops_to_runs_flat
 
         res_key = res_al.key
-        batch, qlens, rlens = self._pack(queries, refs, Qp=Qp, Rp=Rp)
-        route, _ = dispatch.plan_route(batch, "trace", self.gap_open,
+        n = len(refs)
+        CH = self._CIGAR_CHUNK
+        spans = ([slice(0, n)] if n <= CH else
+                 [slice(i, min(i + CH, n)) for i in range(0, n, CH)])
+        packed = []
+        for sl in spans:
+            batch, qlens, rlens = self._pack(
+                None if queries is None else queries[sl], refs[sl],
+                Qp=Qp, Rp=Rp)
+            packed.append((sl, batch, qlens, rlens))
+        batch0 = packed[0][1]
+        route, _ = dispatch.plan_route(batch0, "trace", self.gap_open,
                                        self.gap_extend)
-        if (batch.qp + batch.rp > dispatch.WAVEFRONT_TPU_MAX_SPAN
+        if (batch0.qp + batch0.rp > dispatch.WAVEFRONT_TPU_MAX_SPAN
                 or route not in ("pallas", "wavefront")):
             # plane + host walk (streamed-trace spans and other
             # fallbacks); the trace-class alignments are internal — the
@@ -599,21 +620,32 @@ class Aligner:
                          matrix=self.matrix, gap_open=self.gap_open,
                          gap_extend=self.gap_extend, profile=self.profile,
                          bandwidth=None)
-            out = tr._execute(batch)
-            tmp = tr._alignments_from(out, qlens, rlens)
-            cigs = tr.cigars(tmp, qseqs, refs)
-            clean = {k: v for k, v in out.items() if k != "trace_table"}
-            return res_al._alignments_from(clean, qlens, rlens), cigs
-        out, ops_host, _bq, _br = self._device_trace_walk(
-            batch, qseq=None if self.profile.is_null else self.profile.query)
-        alns = res_al._alignments_from(out, qlens, rlens)
-        # gc_pause: the string build allocates ~30 gc-tracked objects
-        # per pair; at 4096 pairs an untimely cyclic collection over the
-        # just-built Alignment set cost 750 ms (stage probe 2026-08-20)
-        with stages.stage("encode"), gc_pause(batch.size * 8):
-            cigs = cigar_strings_batch(
-                *ops_to_runs_flat(ops_host[:batch.size]))
-        return alns, cigs
+            alns_all, cigs_all = [], []
+            for sl, batch, qlens, rlens in packed:
+                out = tr._execute(batch)
+                tmp = tr._alignments_from(out, qlens, rlens)
+                cigs_all.extend(tr.cigars(tmp, qseqs[sl], refs[sl]))
+                clean = {k: v for k, v in out.items()
+                         if k != "trace_table"}
+                alns_all.extend(res_al._alignments_from(
+                    clean, qlens, rlens))
+            return alns_all, cigs_all
+        qseq = None if self.profile.is_null else self.profile.query
+        states = [(qlens, rlens, batch,
+                   self._device_trace_walk_enqueue(batch, qseq=qseq))
+                  for _sl, batch, qlens, rlens in packed]
+        alns_all, cigs_all = [], []
+        for qlens, rlens, batch, st in states:
+            out, ops_host, _bq, _br = self._device_trace_walk_fetch(st)
+            alns_all.extend(res_al._alignments_from(out, qlens, rlens))
+            # gc_pause: the string build allocates ~30 gc-tracked
+            # objects per pair; at 4096 pairs an untimely cyclic
+            # collection over the just-built Alignment set cost 750 ms
+            # (stage probe 2026-08-20)
+            with stages.stage("encode"), gc_pause(batch.size * 8):
+                cigs_all.extend(cigar_strings_batch(
+                    *ops_to_runs_flat(ops_host[:batch.size])))
+        return alns_all, cigs_all
 
     def _device_trace_walk(self, batch, qseq: bytes | None = None):
         """Trace kernel + device traceback walk with ONE fused fetch.
@@ -633,6 +665,14 @@ class Aligner:
         receives the packed byte planes when the batch carries them
         (``qseq`` supplies the query bytes for shared-profile batches).
         """
+        st = self._device_trace_walk_enqueue(batch, qseq=qseq)
+        return self._device_trace_walk_fetch(st)
+
+    def _device_trace_walk_enqueue(self, batch, qseq: bytes | None = None):
+        """Enqueue phase of :meth:`_device_trace_walk`: upload, trace
+        kernel, device walk, fuse, and the async d2h copy — returns an
+        opaque state for :meth:`_device_trace_walk_fetch` without
+        blocking, so several sub-batches can be in flight at once."""
         from ..ops.trace_walk import device_walk
 
         batch.to_device()   # kernel + walk share one plane upload
@@ -688,6 +728,19 @@ class Aligner:
             copy = getattr(fused, "copy_to_host_async", None)
             if copy is not None:
                 copy()
+            return ("fused", names, fused, B, L)
+        prefetch = [v for k, v in dev.items() if k != "trace_table"]
+        for a in (*prefetch, ops_dev, bq_dev, br_dev):
+            copy = getattr(a, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        return ("raw", dev, ops_dev, bq_dev, br_dev, B)
+
+    def _device_trace_walk_fetch(self, st):
+        """Blocking phase of :meth:`_device_trace_walk`: fetch the fused
+        payload and unpack (scalars dict, ops rows, beg_q, beg_r)."""
+        if st[0] == "fused":
+            _tag, names, fused, B, L = st
             with stages.stage("fetch"):
                 host = np.asarray(fused)
             nn = len(names)
@@ -695,11 +748,7 @@ class Aligner:
             bq, br = host[nn, :B], host[nn + 1, :B]
             ops_host = _unpack_nibbles(host[nn + 2:], B, L)
         else:
-            prefetch = [v for k, v in dev.items() if k != "trace_table"]
-            for a in (*prefetch, ops_dev, bq_dev, br_dev):
-                copy = getattr(a, "copy_to_host_async", None)
-                if copy is not None:
-                    copy()
+            _tag, dev, ops_dev, bq_dev, br_dev, B = st
             with stages.stage("fetch"):
                 ops_host = np.asarray(ops_dev)[:B]
                 bq = np.asarray(bq_dev)[:B]

@@ -139,6 +139,61 @@ int pt_walk_trace(const int8_t* trace, int qlen, int rlen,
   return em.n;
 }
 
+// Run-length encode the device walk's backward opcode rows.
+//
+//   ops:     row-major (n, L) uint8 rows from ops/trace_walk.device_walk
+//            (0=none, 1='=', 2='X', 3=I, 4=D), each a nonzero prefix in
+//            BACKWARD order followed by zero padding
+//   merge_m: 1 -> emit SAM 'M' for both '='/'X' (SSW style)
+//   runs_out: dense (n, cap) packed (len<<4)|op runs, FORWARD order
+//   counts_out[k]: pair k's run count (-1 on overflow; cap >= L never
+//                  overflows because each run covers >= 1 op)
+//
+// Replaces the vectorized-numpy ops_to_runs_flat pass, which costs
+// ~38 ms for a (4096, 320) batch (five full-array passes + nonzero);
+// this single pass is ~1-2 ms with OpenMP.
+void pt_rle_ops(int n, int L, const uint8_t* ops, int merge_m,
+                uint32_t* runs_out, int cap, int32_t* counts_out) {
+  static const uint32_t kMap[5] = {0, OP_EQ, OP_X, OP_I, OP_D};
+#pragma omp parallel for schedule(static)
+  for (int k = 0; k < n; ++k) {
+    const uint8_t* row = ops + static_cast<int64_t>(k) * L;
+    uint32_t* out = runs_out + static_cast<int64_t>(k) * cap;
+    int ns = 0;
+    while (ns < L && row[ns] != 0) ++ns;
+    int m = 0;
+    bool overflow = false;
+    // reverse the backward prefix: forward order is row[ns-1] .. row[0]
+    for (int t = ns - 1; t >= 0; --t) {
+      uint32_t op = kMap[row[t]];
+      if (merge_m && (op == OP_EQ || op == OP_X)) op = OP_M;
+      if (m > 0 && (out[m - 1] & 0xF) == op) {
+        out[m - 1] += 1u << 4;
+      } else if (m >= cap) {
+        overflow = true;
+        break;
+      } else {
+        out[m++] = (1u << 4) | op;
+      }
+    }
+    counts_out[k] = overflow ? -1 : m;
+  }
+}
+
+// Compact the dense (n, cap) run rows into one flat array at the given
+// per-row offsets (host computes offsets = cumsum(counts) - counts).
+void pt_compact_runs(int n, int cap, const uint32_t* runs,
+                     const int32_t* counts, const int64_t* offsets,
+                     uint32_t* flat_out) {
+#pragma omp parallel for schedule(static)
+  for (int k = 0; k < n; ++k) {
+    const uint32_t* src = runs + static_cast<int64_t>(k) * cap;
+    uint32_t* dst = flat_out + offsets[k];
+    const int c = counts[k] < 0 ? 0 : counts[k];
+    for (int t = 0; t < c; ++t) dst[t] = src[t];
+  }
+}
+
 // Batched walk: n independent pairs, each with its own plane/lengths.
 // cigar_out is one dense (n, cigar_cap) uint32 buffer; lens_out[k]
 // receives pair k's run count (-1 on per-pair overflow).

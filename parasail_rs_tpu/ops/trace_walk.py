@@ -260,10 +260,20 @@ def ops_to_runs_flat(ops: np.ndarray, merge_m: bool = False
     numpy call overhead (8+ ms for a 512-pair batch, dwarfing the
     <1 ms of actual work), which matters on the align_cigars serving
     path (VERDICT r3 item 4).
+
+    The native single-pass encoder (native/ptwalk.cc::pt_rle_ops,
+    OpenMP) serves this when built — the numpy formulation below costs
+    ~38 ms on a (4096, 320) batch (five full-array passes), the single
+    C pass ~1-2 ms; the numpy path remains as the no-compiler fallback.
     """
     B, L = ops.shape
     if B == 0:
         return np.empty(0, np.uint32), np.empty(0, np.int64)
+    from ..native import walker
+
+    native = walker.rle_ops(ops, merge_m)
+    if native is not None:
+        return native
     ns = np.count_nonzero(ops, axis=1)          # walk emits a nonzero prefix
     k = np.arange(L)
     idx = ns[:, None] - 1 - k[None, :]          # reverse each prefix
