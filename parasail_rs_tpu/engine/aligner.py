@@ -453,17 +453,18 @@ class Aligner:
         # Cell-sized outputs fetch per bin instead — every outstanding
         # bin keeps a (B, Qp, Rp)-sized plane live on HBM, and N bins
         # near the per-batch gate would otherwise accumulate N of them.
-        pending = []
+        packed = []
         for bin_ in bins:
             idx = bin_.indices
             batch, bql, brl = self._pack(
                 qsel(idx), [refs[i] for i in idx], Qp=bin_.qp, Rp=bin_.rp)
-            if batch.qbytes is not None:
-                # one concatenated plane upload per bin: the dev channel
-                # charges a fixed ~12-25 ms per h2d on top of bandwidth
-                batch.to_device()
-            pending.append((idx, self._execute(batch, fetch=cell_sized),
-                            bql, brl))
+            packed.append((idx, batch, bql, brl))
+        # ONE concatenated plane upload for every bin (the dev channel
+        # charges a fixed per-h2d cost and serializes transfers; 8 bin
+        # uploads were the dominant term of cfg5's fetch wait)
+        dispatch.commit_batches([b for _, b, _, _ in packed])
+        pending = [(idx, self._execute(batch, fetch=cell_sized), bql, brl)
+                   for idx, batch, bql, brl in packed]
         # scalar outputs: ONE combined device->host transfer for every
         # bin (dispatch.fetch_all) instead of one round-trip per bin
         outs = (None if cell_sized else

@@ -128,6 +128,40 @@ class PairBatch:
         return self.table if self.table is not None else self.profile
 
 
+def commit_batches(batches: list["PairBatch"]) -> None:
+    """Commit many batches' symbol planes with ONE h2d upload.
+
+    ``align_many`` launches one kernel per shape bin; a per-bin
+    ``to_device()`` pays the dev channel's fixed per-upload cost (and
+    its serialization against every other transfer) once per bin — the
+    dominant term of the mixed-length config's fetch wait (cfg5 stages
+    2026-08-20: 77 ms of a 105 ms call).  Concatenating every bin's
+    planes into one flat uint8 buffer costs one upload; the per-bin
+    views are device-side slices (lazy, overlap-friendly).
+    """
+    import jax
+
+    host = []
+    for b in batches:
+        for attr in ("qbytes", "rbytes"):
+            v = getattr(b, attr)
+            if isinstance(v, np.ndarray):
+                host.append((b, attr, v))
+    if not host:
+        return
+    if len(host) <= 2:
+        for b in {id(b): b for b, _, _ in host}.values():
+            b.to_device()
+        return
+    flat = np.concatenate([v.reshape(-1) for _, _, v in host])
+    dev = jax.device_put(flat)
+    off = 0
+    for b, attr, v in host:
+        n = v.size
+        setattr(b, attr, dev[off:off + n].reshape(v.shape))
+        off += n
+
+
 def build_batch(
     prows_list: list[np.ndarray],
     qidx_list: list[np.ndarray],
