@@ -168,6 +168,7 @@ class StreamingAligner:
         groups, ginv = np.unique(gkey, return_inverse=True)
         handles: list[Handle | None] = [None] * n
         with self._lock:
+            full: list[_Bucket] = []
             for gi in range(len(groups)):
                 idx = np.nonzero(ginv == gi)[0]
                 key = (int(qb[idx[0]]), int(rb[idx[0]]))
@@ -196,8 +197,23 @@ class StreamingAligner:
                     bucket.handles.extend(hs)
                     if (bucket.size >= self._flush_size
                             or bucket.size >= cell_cap):
-                        self._dispatch(key)
+                        # defer the launch: every full bucket of this
+                        # bulk submit shares ONE concatenated plane
+                        # upload below (the dev channel charges a fixed
+                        # per-h2d cost; N buckets paid it N times)
+                        full.append(self._buckets.pop(key))
+            self._launch_group(full)
         return handles
+
+    def _launch_group(self, buckets: list[_Bucket]) -> None:
+        """Pack a group of buckets, commit their symbol planes with one
+        upload, then launch each.  Caller holds the lock."""
+        if not buckets:
+            return
+        prepped = [self._prepare(b) for b in buckets]
+        dispatch.commit_batches([p[0] for p in prepped])
+        for (batch, qlens, rlens), bucket in zip(prepped, buckets):
+            self._launch(bucket, batch, qlens, rlens)
 
     def _ensure_dispatched(self, handle: Handle) -> None:
         """Dispatch the (partial) bucket containing ``handle`` if it has
@@ -216,15 +232,20 @@ class StreamingAligner:
         delivers.
         """
         bucket = self._buckets.pop(key)
+        batch, qlens, rlens = self._prepare(bucket)
+        dispatch.commit_batches([batch])
+        self._launch(bucket, batch, qlens, rlens)
+
+    def _prepare(self, bucket: _Bucket):
+        """Host-pack one bucket into device-ready tensors (no upload)."""
         a = self._aligner
         queries = (None if bucket.queries[0] is None else bucket.queries)
-        batch, qlens, rlens = a._pack(queries, bucket.references,
-                                      Qp=bucket.qp, Rp=bucket.rp)
-        if batch.qbytes is not None:
-            # one concatenated symbol-plane upload per bucket (the dev
-            # channel charges a fixed ~12-25 ms per h2d); the upload
-            # streams while earlier buckets compute
-            batch.to_device()
+        return a._pack(queries, bucket.references,
+                       Qp=bucket.qp, Rp=bucket.rp)
+
+    def _launch(self, bucket: _Bucket, batch, qlens, rlens) -> None:
+        """Enqueue one packed bucket's kernel; caller holds the lock."""
+        a = self._aligner
         pending = dispatch.execute(
             batch,
             gap_open=a.gap_open, gap_extend=a.gap_extend,
@@ -308,10 +329,10 @@ class StreamingAligner:
         """Dispatch every partial bucket and wait for all in-flight
         buckets to resolve (end-of-stream barrier)."""
         with self._lock:
-            for key in list(self._buckets):
-                if self._buckets[key].size:
-                    self._dispatch(key)
+            partial = [self._buckets.pop(key) for key in list(self._buckets)
+                       if self._buckets[key].size]
             self._buckets.clear()
+            self._launch_group(partial)
             inflight, self._inflight = self._inflight, []
         for ev in inflight:
             ev.wait()
