@@ -98,3 +98,42 @@ def test_engine_cigar_uses_native():
     g = golden.align_seqs(q, r, m, 11, 1, "sw")
     w = golden.walk_trace(g.trace_table, q, r, g.end_query, g.end_ref, "sw")
     assert res.get_cigar(q, r) == w.cigar_string()
+
+
+def _numpy_rle_reference(ops, merge_m):
+    from parasail_rs_tpu.ops.trace_walk import ops_to_runs
+
+    outs = [ops_to_runs(ops[b], merge_m) for b in range(ops.shape[0])]
+    flat = (np.concatenate(outs) if outs else np.empty(0, np.uint32))
+    return flat, np.array([len(o) for o in outs], np.int64)
+
+
+@pytest.mark.parametrize("merge_m", [False, True])
+def test_native_rle_matches_per_pair_reference(merge_m):
+    if not walker.available():
+        pytest.skip("native walker unavailable")
+    rng = np.random.default_rng(5)
+    B, L = 257, 96
+    ops = np.zeros((B, L), np.uint8)
+    ns = rng.integers(0, L + 1, B)     # include empty rows
+    for b in range(B):
+        ops[b, :ns[b]] = rng.integers(1, 5, ns[b])
+    got = walker.rle_ops(ops, merge_m)
+    assert got is not None
+    want = _numpy_rle_reference(ops, merge_m)
+    assert np.array_equal(got[1], want[1])
+    assert np.array_equal(got[0], want[0])
+
+
+def test_native_rle_edge_cases():
+    if not walker.available():
+        pytest.skip("native walker unavailable")
+    empty = walker.rle_ops(np.zeros((0, 8), np.uint8))
+    assert empty[0].size == 0 and empty[1].size == 0
+    allzero = walker.rle_ops(np.zeros((3, 8), np.uint8))
+    assert allzero[1].tolist() == [0, 0, 0] and allzero[0].size == 0
+    # one maximal row: alternating ops -> L runs (cap == L, no overflow)
+    row = np.tile(np.array([1, 3], np.uint8), 16)[None, :]
+    flat, counts = walker.rle_ops(row)
+    assert counts.tolist() == [32]
+    assert all(int(v) >> 4 == 1 for v in flat)

@@ -463,3 +463,38 @@ def test_plan_route_stream_walk_beyond_envelope():
         assert route == "stream_walk", (route, reason)
     else:
         assert route == "wavefront", (route, reason)
+
+
+def test_align_cigars_chunked_matches_unchunked():
+    """The 512-pair sub-launch pipeline (r5) returns bit-identical
+    results to a single launch covering the whole bin."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from parasail_rs_tpu.engine import Aligner
+    from parasail_rs_tpu.engine.aligner import Aligner as Al
+    from parasail_rs_tpu.matrices import Matrix
+
+    rng = np.random.default_rng(17)
+    aa = list(b"ARNDCQEGHILKMFPSTWYV")
+    qs = [rng.choice(aa, size=rng.integers(20, 60)).astype("uint8")
+          .tobytes() for _ in range(70)]
+    rs = [rng.choice(aa, size=rng.integers(20, 60)).astype("uint8")
+          .tobytes() for _ in range(70)]
+    tr = (Aligner.new().matrix(Matrix.from_name("blosum62"))
+          .gap_open(11).gap_extend(1).semi_global().build())
+    old = Al._CIGAR_CHUNK
+    try:
+        Al._CIGAR_CHUNK = 1 << 30
+        alns1, cigs1 = tr.align_cigars(qs, rs)
+        Al._CIGAR_CHUNK = 32          # 70 pairs -> 3 chunks incl. tail
+        alns2, cigs2 = tr.align_cigars(qs, rs)
+    finally:
+        Al._CIGAR_CHUNK = old
+    assert cigs1 == cigs2
+    assert [a.get_score() for a in alns1] == [a.get_score()
+                                              for a in alns2]
+    assert [a.get_end_ref() for a in alns1] == [a.get_end_ref()
+                                                for a in alns2]
