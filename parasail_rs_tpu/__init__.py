@@ -21,7 +21,7 @@ from .errors import ParasailError
 from .matrices import Matrix
 from . import errors
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Matrix",
