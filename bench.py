@@ -832,6 +832,19 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
                 "measured host stages (pack+dispatch+build) + fused "
                 "kernel time + modeled direct-attach d2h; context only, "
                 "not a scored number")
+        if on_tpu and tunnel and tunnel.get("h2d_4MB_degraded_ms"):
+            # hard floor of THIS channel: symbol uploads + result d2h
+            # at the measured degraded bandwidth + one blocking RTT —
+            # zero host/kernel time.  Pins how much of the measured
+            # number is tunnel physics (cfg7 ships 320 B/pair up,
+            # ~20 B/pair down; a direct-attach chip has neither term).
+            bw = (4 << 20) / (tunnel["h2d_4MB_degraded_ms"] / 1e3)
+            floor_ms = ((n7 * 320 + n7 * 20) / bw * 1e3
+                        + tunnel.get("d2h_scalar_ms",
+                                     tunnel.get(
+                                         "blocking_op_degraded_ms", 25)))
+            out["cfg7_channel_floor_aln_per_sec"] = round(
+                n7 / (floor_ms / 1e3))
         checkpoint()
         print(f"[bench] cfg7 streaming e2e {n7} pairs incl. Alignment "
               f"objects: {dt*1e3:.0f} ms ({n7/dt:.0f} aln/s) "
