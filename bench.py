@@ -776,6 +776,27 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
 
     scale = 1 if on_tpu else 8  # smaller sweeps off-TPU
 
+    def staged_min(name, fn, reps=2, timeout=240):
+        """Per-stage wall decomposition, min over ``reps`` runs.
+
+        A single staged rep carries interference outliers (e.g. one GC
+        pass put 134 ms in cfg4b's build stage, r5 capture); host-stage
+        costs are only ever inflated by interference, so the per-stage
+        MIN is the stabler estimator for the projections built from
+        these stages (single-rep projections swung 23% between the two
+        r5 captures).
+        """
+        best = {}
+        for _ in range(reps):
+            with _stages.measuring():
+                guard(name, fn, timeout=timeout)
+                snap = _stages.snapshot()
+            for k, v in snap.items():
+                best[k] = min(best.get(k, float("inf")), v["ms"])
+            if time.time() > deadline - 30:
+                break
+        return best
+
     def project(host_ms, padded_cells, payload_bytes):
         """Direct-attach projection: measured host stages + device time
         scaled from the fused-chain kernel floor (kernel_ms8k covers
@@ -810,20 +831,16 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
                 return sum(h.result().get_score() for h in handles)
 
         guard("cfg7_warm", stream_run, timeout=180)
-        # one staged rep (per-stage wall decomposition), then timed reps
-        with _stages.measuring():
-            dt0 = guard("cfg7_staged", lambda: _timeit(stream_run, reps=1),
-                        timeout=180)
-            snap = _stages.snapshot()
-        out["cfg7_stages_ms"] = {k: v["ms"] for k, v in snap.items()}
+        # staged decomposition (min over 2 reps), then timed reps
+        snap = staged_min("cfg7_staged", stream_run, timeout=180)
+        out["cfg7_stages_ms"] = snap
         dt, spread, k = guard("cfg7", lambda: _timeit2(
             stream_run, reps=5, deadline=deadline), timeout=240)
-        dt = min(dt, dt0)
         out["cfg7_stream_e2e_aln_per_sec"] = round(n7 / dt)
         out["cfg7_spread"] = spread
         out["cfg7_reps"] = k
         if on_tpu and kernel_ms8k is not None:
-            host_ms = sum(v["ms"] for kk, v in snap.items()
+            host_ms = sum(v for kk, v in snap.items()
                           if kk in ("pack", "dispatch", "build"))
             proj_ms = project(host_ms, n7 * 160 * 160, n7 * 5 * 4)
             out["cfg7_projected_direct_attach_aln_per_sec"] = round(
@@ -866,11 +883,7 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
                 return tr.align_cigars(q4b, r4b)
 
             guard("cfg4b_warm", cig4b, timeout=200)
-            with _stages.measuring():
-                guard("cfg4b_staged", cig4b, timeout=240)
-                snap4b = _stages.snapshot()
-            out["cfg4b_stages_ms"] = {k: v["ms"]
-                                      for k, v in snap4b.items()}
+            out["cfg4b_stages_ms"] = staged_min("cfg4b_staged", cig4b)
             dt, spread, k = guard("cfg4b", lambda: _timeit2(
                 cig4b, reps=5, deadline=deadline), timeout=240)
             out["cfg4b_amortized_cigars_per_sec"] = round(n4b / dt)
@@ -889,11 +902,10 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
         mx = Aligner.new().gap_open(5).gap_extend(2).local().build()
         guard("cfg5_warm", lambda: mx.align_many(mixed_q, mixed_r),
               timeout=180)
-        with _stages.measuring():
-            guard("cfg5_staged", lambda: mx.align_many(mixed_q, mixed_r),
-                  timeout=180)
-            snap5 = _stages.snapshot()
-            out["cfg5_stages_ms"] = {k: v["ms"] for k, v in snap5.items()}
+        snap5 = staged_min(
+            "cfg5_staged", lambda: mx.align_many(mixed_q, mixed_r),
+            timeout=180)
+        out["cfg5_stages_ms"] = snap5
         dt, spread, _ = guard("cfg5", lambda: _timeit2(
             lambda: mx.align_many(mixed_q, mixed_r), reps=3,
             deadline=deadline), timeout=240)
@@ -910,7 +922,7 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
         padded5 = sum(
             ((len(b.indices) + 127) // 128 * 128) * b.qp * b.rp
             for b in bins5)
-        host5 = sum(v["ms"] for k, v in snap5.items() if k != "fetch")
+        host5 = sum(v for k, v in snap5.items() if k != "fetch")
         proj5 = project(host5, padded5, len(mixed_q) * 5 * 4)
         if proj5 is not None:
             out["cfg5_projected_direct_attach_gcups"] = round(
@@ -942,11 +954,10 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
                 deadline=deadline))
             out["null_rtt_ms"] = round(ndt * 1e3, 2)
             out["cfg1_minus_null_rtt_ms"] = round((dt - ndt) * 1e3, 2)
-        with _stages.measuring():
-            guard("cfg1_staged", lambda: nw.align(q150, r150))
-            snap1 = _stages.snapshot()
-            out["cfg1_stages_ms"] = {k: v["ms"] for k, v in snap1.items()}
-        host1 = sum(v["ms"] for k, v in snap1.items() if k != "fetch")
+        snap1 = staged_min("cfg1_staged", lambda: nw.align(q150, r150),
+                           reps=3)
+        out["cfg1_stages_ms"] = snap1
+        host1 = sum(v for k, v in snap1.items() if k != "fetch")
         proj1 = project(host1, 128 * 160 * 160, 5 * 4)
         if proj1 is not None:
             out["cfg1_projected_direct_attach_ms"] = round(proj1, 2)
@@ -996,15 +1007,13 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
             return tr.align_cigars(q4, r4)
 
         guard("cfg4_warm", cig)
-        with _stages.measuring():
-            guard("cfg4_staged", cig, timeout=240)
-            snap4 = _stages.snapshot()
-            out["cfg4_stages_ms"] = {k: v["ms"] for k, v in snap4.items()}
+        snap4 = staged_min("cfg4_staged", cig)
+        out["cfg4_stages_ms"] = snap4
         dt, spread, _ = guard("cfg4", lambda: _timeit2(
             cig, deadline=deadline), timeout=240)
         out["cfg4_cigars_per_sec"] = round(n4 / dt)
         out["cfg4_spread"] = spread
-        host4 = sum(v["ms"] for k, v in snap4.items() if k != "fetch")
+        host4 = sum(v for k, v in snap4.items() if k != "fetch")
         # trace+walk payload: nibble-packed opcodes + packed scalars
         pay4 = n4 * (160 + 160) // 2 + n4 * 8 * 4
         proj4 = project(host4, n4 * 160 * 160 * 2, pay4)
