@@ -430,7 +430,7 @@ def _run_tpu(scratch):
         _emit(res, scratch)
 
     # ---- steady fused windows: the headline
-    for _ in range(3):
+    for _ in range(5):
         if time.time() > deadline - 45:
             break
         try:
