@@ -142,29 +142,59 @@ def _emit(res, scratch=None):
         _emit_locked(res, scratch)
 
 
+def _window_estimate(wins, B):
+    """(per_call_s, method, med_by_n, spread) from raw window records.
+
+    Chain windows ({"n": N, "dt": wall}) estimate per-kernel time as the
+    DIFFERENTIAL between the two chain lengths' median walls — the fixed
+    RTT/dispatch term cancels exactly (a chain of identical calls is
+    CSE-collapsed by XLA, so per-call = wall/N is wrong in BOTH
+    directions; see _run_tpu's chain comment).  Legacy eager windows
+    ({"iters": it, "dt": dt}) fall back to the per-call floor.
+    """
+    chain = [w for w in wins if "n" in w and not w.get("absorber")]
+    by_n = {}
+    for w in chain:
+        by_n.setdefault(w["n"], []).append(w["dt"])
+    med = {n: float(np.median(v)) for n, v in by_n.items()}
+    if len(med) >= 2:
+        ns = sorted(med)
+        n0, n1 = ns[0], ns[-1]
+        k = (med[n1] - med[n0]) / (n1 - n0)
+        naive = med[n1] / n1
+        hi = by_n[n1]
+        spread = round((max(hi) - min(hi)) / med[n1], 3) if hi else None
+        # sanity: the differential must sit below the RTT-inclusive
+        # naive rate and above a quarter of it (a weather spike in one
+        # median otherwise fabricates a rate)
+        if 0.25 * naive <= k <= 1.05 * naive:
+            return k, "chain-differential", med, spread
+        return naive, "chain-naive (differential out of bounds)", med, \
+            spread
+    if med:
+        n1 = max(med)
+        hi = by_n[n1]
+        spread = round((max(hi) - min(hi)) / med[n1], 3) if hi else None
+        return med[n1] / n1, "chain-naive", med, spread
+    pool = [w["dt"] / w["iters"] for w in wins if "iters" in w
+            and not w.get("absorber")]
+    pool = pool or [w["dt"] / max(w.get("iters", 1), w.get("n", 1))
+                    for w in wins]
+    best = min(pool)
+    steady = [pc for pc in pool if pc <= 3 * best]
+    spread = round((max(steady) - min(steady)) / float(np.median(steady)),
+                   3)
+    return best, "eager-floor", {}, spread
+
+
 def _emit_locked(res, scratch):
     B, L = res["B"], res["L"]
     wins = res["windows"]
-    # Every overhead source (tunnel RTT, relay stalls) only ever inflates
-    # a window's wall time, so the per-call floor across windows is the
-    # least contaminated device-time estimate.  The absorber window (the
-    # one that paid the first-d2h wedge) and any window >3x the floor are
-    # excluded from the median/spread: they measure tunnel weather, not
-    # the kernel.
-    clean = [w["dt"] / w["iters"] for w in wins if not w.get("absorber")]
-    pool = clean or [w["dt"] / w["iters"] for w in wins]
-    best_dt = min(pool)
-    steady = [pc for pc in pool if pc <= 3 * best_dt]
-    med_dt = float(np.median(steady))
-    fused = [w["dt"] / w["iters"] for w in wins
-             if w.get("fused") and not w.get("absorber")
-             and w["dt"] / w["iters"] <= 3 * best_dt]
-    spread_set = fused if len(fused) >= 2 else steady
-    aps = B / best_dt
+    per_call, method, med_by_n, spread = _window_estimate(wins, B)
+    aps = B / per_call
     print(f"[bench] backend={res['backend']} windows={len(wins)} "
-          f"steady={len(steady)} best={best_dt*1e3:.2f}ms "
-          f"median={med_dt*1e3:.2f}ms "
-          f"{aps/1e6:.3f}M aln/s {B*L*L/best_dt/1e9:.1f} GCUPS",
+          f"method={method} per-kernel={per_call*1e3:.2f}ms "
+          f"{aps/1e6:.3f}M aln/s {B*L*L/per_call/1e9:.1f} GCUPS",
           file=sys.stderr)
     out = {
         "metric": "150bp SW alignments/sec/chip",
@@ -172,16 +202,17 @@ def _emit_locked(res, scratch):
         "unit": "alignments/sec/chip",
         "vs_baseline": round(aps / 1e6, 3),
         "backend": res["backend"],
+        "method": method,
         "windows": len(wins),
-        "windows_steady": len(steady),
-        "median_aln_per_sec": round(B / med_dt),
-        "window_spread": round((max(spread_set) - min(spread_set))
-                               / float(np.median(spread_set)), 3),
-        "gcups": round(B * L * L / best_dt / 1e9, 1),
+        "chain_wall_ms": {str(n): round(v * 1e3, 2)
+                          for n, v in med_by_n.items()},
+        "window_spread": spread,
+        "gcups": round(B * L * L / per_call / 1e9, 1),
         "compile_first_s": res.get("compile_first_s"),
         "wedge_s": res.get("wedge_s"),
         "stats_aln_per_sec": res.get("stats_aln_per_sec"),
-        "stats_fused": res.get("stats_fused"),
+        "stats_method": res.get("stats_method"),
+        "trace_aln_per_sec": res.get("trace_aln_per_sec"),
         "tunnel": res.get("tunnel"),
         "e2e": res.get("e2e", {}),
     }
@@ -235,7 +266,9 @@ def _record_history(res, out):
     rec = {"ts": time.time(), "run": res["run"],
            "aln_per_sec": out["value"], "gcups": out["gcups"],
            "windows": out["windows"],
+           "method": out.get("method"),
            "stats_aln_per_sec": out.get("stats_aln_per_sec"),
+           "trace_aln_per_sec": out.get("trace_aln_per_sec"),
            "e2e": out.get("e2e") or None}
     try:
         lines = []
@@ -358,6 +391,8 @@ def _run_tpu(scratch):
     res.update(B=B, L=L)
     _arm_emergency_emit(res, scratch, deadline)
 
+    import jax.numpy as jnp
+
     from parasail_rs_tpu.ops.scan_kernel import scan_score_align
 
     # Device arrays enter as jit ARGUMENTS: closure capture would embed
@@ -365,17 +400,29 @@ def _run_tpu(scratch):
     # executable (109 MB serialized, unstable cache key, 30-180 s
     # compiles — measured 2026-08-20); the arg form compiles in ~1-2 s
     # warm and its persistent-cache key is stable across processes.
+    #
+    # Each step ROLLS the reference plane (same total work, different
+    # input buffer) — a chain of IDENTICAL calls is collapsed to ONE
+    # kernel by XLA common-subexpression elimination even through a
+    # `score & 0` data dependency (caught 2026-08-20: x8/x16/x32 chains
+    # of identical calls all ran in one-kernel wall time, so the old
+    # "fused x8" per-call number was really (RTT + 1 kernel)/8 — it
+    # UNDERSTATED the score kernel and OVERSTATED stats).  The headline
+    # is the DIFFERENTIAL (wall_x16 - wall_x8)/8: per-kernel device
+    # time with the fixed RTT/dispatch term cancelled exactly.
     @functools.partial(jax.jit, static_argnums=(4,))
     def chained(prof, rix, ql, rl, n):
-        out = None
+        acc = None
         for _ in range(n):
             out = scan_score_align(
                 prof, rix, ql, rl,
                 open_=np.int32(11), ext=np.int32(1),
                 mode="sw", free=(True,) * 4, width="sat", interpret=False,
                 hmax_bound=8192)  # (smax 12 + open 11 + ext 1)*320, pow2
-            ql = ql + (out["score"] & 0)  # data dep: no elision/caching
-        return out["score"]
+            s = out["score"]
+            acc = s if acc is None else acc + s
+            rix = jnp.roll(rix, 1, axis=0) + (s[:, None] & 0)
+        return acc
 
     t0 = time.time()
     try:
@@ -394,14 +441,14 @@ def _run_tpu(scratch):
         os._exit(0)
     res["compile_first_s"] = round(time.time() - t0, 2)
     _write_json(scratch, res)
-    print(f"[bench] backend={backend} B={B} fused-chain "
+    print(f"[bench] backend={backend} B={B} roll-chain "
           f"compile+first={res['compile_first_s']}s", file=sys.stderr)
     # channel state BEFORE the process's first d2h; cheap and guarded
     _tunnel_calibration(res, scratch, "clean", deadline)
 
-    def fwin():
+    def cwin(n):
         t0 = time.time()
-        float(np.asarray(chained(profile, ridx, qlen, rlen, NCH)).sum())
+        float(np.asarray(chained(profile, ridx, qlen, rlen, n)).sum())
         return time.time() - t0
 
     # ---- absorber loop: the process's FIRST d2h wedges for 10-310 s.
@@ -413,15 +460,14 @@ def _run_tpu(scratch):
     while not res["windows"] and time.time() < deadline - 70:
         budget = min(120, max(15, deadline - time.time() - 60))
         try:
-            dt = _with_timeout(fwin, budget)
+            dt = _with_timeout(lambda: cwin(NCH), budget)
         except Exception as e:
             print(f"[bench] absorber window: {type(e).__name__} "
                   f"({time.time()-t_wedge:.0f}s since first d2h); "
                   f"retrying", file=sys.stderr)
             continue
         res["wedge_s"] = round(time.time() - t_wedge, 1)
-        res["windows"].append({"iters": NCH, "dt": dt, "fused": True,
-                               "absorber": True})
+        res["windows"].append({"n": NCH, "dt": dt, "absorber": True})
         print(f"[bench] absorber window landed after "
               f"{res['wedge_s']}s (window itself {dt:.2f}s)",
               file=sys.stderr)
@@ -429,18 +475,30 @@ def _run_tpu(scratch):
         # can no longer erase this TPU measurement.
         _emit(res, scratch)
 
-    # ---- steady fused windows: the headline
-    for _ in range(5):
+    # ---- differential windows: 2N-chain walls minus N-chain walls
+    # cancel the fixed RTT term; compile the 2N chain post-wedge.
+    try:
+        _with_timeout(
+            lambda: jax.block_until_ready(
+                chained(profile, ridx, qlen, rlen, 2 * NCH)),
+            min(COMPILE_TIMEOUT, max(10, deadline - time.time() - 90)))
+        have_2n = True
+    except Exception as e:
+        print(f"[bench] 2N-chain compile failed: {type(e).__name__}: {e}; "
+              f"headline falls back to naive chain windows",
+              file=sys.stderr)
+        have_2n = False
+    for n in ((NCH, 2 * NCH) * 3 if have_2n else (NCH,) * 5):
         if time.time() > deadline - 45:
             break
         try:
-            dt = _with_timeout(fwin, WINDOW_TIMEOUT)
+            dt = _with_timeout(lambda: cwin(n), WINDOW_TIMEOUT)
         except Exception as e:
-            print(f"[bench] fused window failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            print(f"[bench] chain window x{n} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
             continue
-        res["windows"].append({"iters": NCH, "dt": dt, "fused": True})
-        print(f"[bench] fused x{NCH}: {dt/NCH*1e3:.2f} ms/call",
+        res["windows"].append({"n": n, "dt": dt})
+        print(f"[bench] roll-chain x{n}: {dt*1e3:.1f} ms wall",
               file=sys.stderr)
     if res["windows"]:
         _emit(res, scratch)
@@ -481,13 +539,10 @@ def _run_tpu(scratch):
     _tunnel_calibration(res, scratch, "degraded", deadline)
     if res["windows"] and time.time() < deadline - 30:
         res["e2e"] = {}
-        kernel_ms8k = min((w["dt"] / w["iters"] for w in res["windows"]
-                           if w.get("fused") and not w.get("absorber")),
-                          default=None)
+        per_call, _m, _med, _s = _window_estimate(res["windows"], B)
         _secondary_configs(True, res["e2e"],
                            lambda: _write_json(scratch, res), deadline,
-                           kernel_ms8k=None if kernel_ms8k is None
-                           else kernel_ms8k * 1e3,
+                           kernel_ms8k=per_call * 1e3,
                            tunnel=res.get("tunnel"))
     res["final"] = True
     if res["windows"]:
@@ -544,11 +599,13 @@ def _single_call_fallback(res, scratch, scan_score_align, profile, ridx,
 
 def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B,
                           deadline):
-    """Fused-chain timing of the stats kernel (matches/similar/length
-    accumulators) — the second headline of the kernel family.  Same
-    arg-form x8 fused-jit chains as the score headline, so the number is
-    per-dispatch-overhead-free device time."""
+    """Roll-chain differential timing of the stats and trace kernels —
+    the second and third headlines of the kernel family.  Same
+    methodology as the score headline (see _run_tpu): per-kernel time =
+    (wall_2N - wall_N)/N with medians-of-3, RTT cancelled, CSE defeated
+    by rolling the reference plane between steps."""
     import jax
+    import jax.numpy as jnp
 
     from parasail_rs_tpu.ops.scan_kernel import scan_score_align
 
@@ -557,45 +614,67 @@ def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B,
     qidx = jax.device_put(
         rng.integers(0, A, size=(B, profile.shape[1])).astype(np.int32))
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def chained(prof, rix, ql, rl, qix, n):
-        out = None
+    @functools.partial(jax.jit, static_argnums=(5, 6))
+    def chained(prof, rix, ql, rl, qix, n, outputs):
+        acc = None
         for _ in range(n):
             out = scan_score_align(
-                prof, rix, ql, rl, qix,
+                prof, rix, ql, rl, qix if outputs == "stats" else None,
                 open_=np.int32(11), ext=np.int32(1),
-                mode="sw", free=(True,) * 4, width="sat", outputs="stats",
+                mode="sw", free=(True,) * 4, width="sat", outputs=outputs,
                 interpret=False, hmax_bound=8192)
-            ql = ql + (out["score"] & 0)
-        return out["score"] + out["matches"] + out["length"]
+            s = out["score"] + (out["matches"] if outputs == "stats"
+                                else 0)
+            acc = s if acc is None else acc + s
+            rix = jnp.roll(rix, 1, axis=0) + (s[:, None] & 0)
+        return acc
 
-    try:
-        _with_timeout(
-            lambda: jax.block_until_ready(
-                chained(profile, ridx, qlen, rlen, qidx, NCH)),
-            min(COMPILE_TIMEOUT, max(10, deadline - time.time() - 60)))
-        per_call = []
-        for _ in range(3):
+    def measure(outputs, value_key, method_key):
+        walls = {NCH: [], 2 * NCH: []}
+        for n in (NCH, 2 * NCH):
+            _with_timeout(
+                lambda: jax.block_until_ready(
+                    chained(profile, ridx, qlen, rlen, qidx, n, outputs)),
+                min(COMPILE_TIMEOUT,
+                    max(10, deadline - time.time() - 60)))
+        for n in (NCH, 2 * NCH) * 3:
             if time.time() > deadline - 45:
                 break
 
-            def fwin():
+            def win(n=n):
                 t0 = time.time()
-                float(np.asarray(
-                    chained(profile, ridx, qlen, rlen, qidx, NCH)).sum())
+                float(np.asarray(chained(
+                    profile, ridx, qlen, rlen, qidx, n, outputs)).sum())
                 return time.time() - t0
 
-            dt = _with_timeout(fwin, WINDOW_TIMEOUT)
-            per_call.append(dt / NCH)
-            print(f"[bench] stats fused x{NCH}: {dt/NCH*1e3:.2f} ms/call",
-                  file=sys.stderr)
-        if per_call:
-            res["stats_aln_per_sec"] = round(B / min(per_call))
-            res["stats_fused"] = True
+            walls[n].append(_with_timeout(win, WINDOW_TIMEOUT))
+        if walls[NCH] and walls[2 * NCH]:
+            m1, m2 = (float(np.median(walls[NCH])),
+                      float(np.median(walls[2 * NCH])))
+            k = (m2 - m1) / NCH
+            naive = m2 / (2 * NCH)
+            if 0.25 * naive <= k <= 1.05 * naive:
+                res[method_key] = "chain-differential"
+            else:
+                k = naive
+                res[method_key] = "chain-naive (differential out of bounds)"
+            res[value_key] = round(B / k)
             _write_json(scratch, res)
+            print(f"[bench] {outputs} kernel: {k*1e3:.2f} ms "
+                  f"({res[value_key]/1e6:.3f}M aln/s, {res[method_key]})",
+                  file=sys.stderr)
+
+    try:
+        measure("stats", "stats_aln_per_sec", "stats_method")
     except Exception as e:  # stats headline is best-effort
         print(f"[bench] stats windows failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    if time.time() < deadline - 90:
+        try:
+            measure("trace", "trace_aln_per_sec", "trace_method")
+        except Exception as e:
+            print(f"[bench] trace windows failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
 
 def _tunnel_calibration(res, scratch, phase, deadline):
