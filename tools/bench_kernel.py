@@ -78,44 +78,72 @@ def bench(outputs, B=8192, L=150, Qp=160, Rp=160, A=25):
         best = dt if best is None else min(best, dt)
         print(f"[{outputs}] x{iters}: {dt*1e3:.2f} ms/call", flush=True)
         time.sleep(0.05)
-    # Ground truth: N chained calls inside ONE jit -> one dispatch, no
-    # per-call host/tunnel overhead in the timed region at all.
+    # Ground truth: the roll-chain DIFFERENTIAL.  A chain of identical
+    # calls is CSE-collapsed to ONE kernel by XLA (even through a
+    # `score & 0` data dependency; caught 2026-08-20), so each step
+    # rolls the reference plane (same work, distinct buffers) and the
+    # per-kernel time is (wall_2N - wall_N)/N with medians-of-3 — the
+    # fixed RTT/dispatch term cancels exactly.
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     NCH = 8
 
-    @jax.jit
-    def chained(ql):
-        out = None
-        for _ in range(NCH):
-            out = run(ql)
-            ql = ql + (out["score"] & 0)
-        return out["score"]
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chained(ql, n):
+        rix = ridx
+        acc = None
+        for _ in range(n):
+            out = scan_score_align(
+                profile, rix, ql, rlen,
+                qidx if outputs == "stats" else None,
+                open_=np.int32(11), ext=np.int32(1),
+                mode="sw", free=(True,) * 4, width="sat", outputs=outputs,
+                interpret=False, hmax_bound=hb)
+            s = out["score"]
+            acc = s if acc is None else acc + s
+            rix = jnp.roll(rix, 1, axis=0) + (s[:, None] & 0)
+        return acc
 
     fused_ms = None
     try:
         t0 = time.time()
-        with_timeout(lambda: jax.block_until_ready(chained(qlen)), 300)
-        print(f"[{outputs}] fused-chain compile+first={time.time()-t0:.1f}s",
+        with_timeout(lambda: jax.block_until_ready(chained(qlen, NCH)), 300)
+        with_timeout(lambda: jax.block_until_ready(
+            chained(qlen, 2 * NCH)), 300)
+        print(f"[{outputs}] roll-chain compile+first={time.time()-t0:.1f}s",
               flush=True)
-        for _ in range(3):
-            def fwin():
+        walls = {NCH: [], 2 * NCH: []}
+        for n in (NCH, 2 * NCH) * 3:
+            def win(n=n):
                 t0 = time.time()
-                float(np.asarray(chained(qlen)).sum())
-                return (time.time() - t0) / NCH
+                float(np.asarray(chained(qlen, n)).sum())
+                return time.time() - t0
             try:
-                dt = with_timeout(fwin, 120)
+                walls[n].append(with_timeout(win, 120))
             except Exception as e:  # noqa: BLE001
-                print(f"[{outputs}] fused window failed: {e}", flush=True)
-                continue
-            fused_ms = dt if fused_ms is None else min(fused_ms, dt)
-            print(f"[{outputs}] fused x{NCH}: {dt*1e3:.2f} ms/call",
+                print(f"[{outputs}] chain window x{n} failed: {e}",
+                      flush=True)
+        if walls[NCH] and walls[2 * NCH]:
+            m1 = float(np.median(walls[NCH]))
+            m2 = float(np.median(walls[2 * NCH]))
+            k = (m2 - m1) / NCH
+            naive = m2 / (2 * NCH)
+            if not (0.25 * naive <= k <= 1.05 * naive):
+                print(f"[{outputs}] differential {k*1e3:.2f} out of "
+                      f"bounds; using naive {naive*1e3:.2f}", flush=True)
+                k = naive
+            fused_ms = k
+            print(f"[{outputs}] differential: {k*1e3:.2f} ms/kernel "
+                  f"(walls x{NCH} {m1*1e3:.1f} / x{2*NCH} {m2*1e3:.1f})",
                   flush=True)
     except Exception as e:  # noqa: BLE001
-        print(f"[{outputs}] fused chain unavailable: {e}", flush=True)
+        print(f"[{outputs}] roll chain unavailable: {e}", flush=True)
 
-    if fused_ms is not None and (best is None or fused_ms < best):
-        best = fused_ms
+    if fused_ms is not None:
+        best = fused_ms  # the differential IS the per-kernel time
     if best is not None:
         rec = {"outputs": outputs, "B": B, "L": L,
                "best_ms": round(best * 1e3, 3),
