@@ -302,10 +302,15 @@ def _best_tpu_record():
 
 
 def _last_tpu_record():
+    """Most recent COMPLETE record (nonempty e2e sweep) — a run cut
+    short by weather appends a sparse absorber-only record that must
+    not become the stale-fallback value; fall back to the raw last
+    line only when no complete record exists."""
     try:
         with open(HISTORY) as f:
             lines = [json.loads(ln) for ln in f if ln.strip()]
-        return lines[-1] if lines else None
+        complete = [r for r in lines if r.get("e2e")]
+        return (complete or lines)[-1] if lines else None
     except (OSError, ValueError):
         return None
 
