@@ -96,3 +96,60 @@ def test_merge_bins_noop_when_under_cap():
 
     bins = [Bin(qp=64, rp=64, indices=[0]), Bin(qp=128, rp=128, indices=[1])]
     assert merge_bins(bins, max_launches=2) is bins
+
+
+def test_align_many_profile_reuse_grouped_upload():
+    """align_many with a profile (rbytes-only batches) through the
+    r5 grouped-upload path (dispatch.commit_batches) matches per-pair
+    align()."""
+    import numpy as np
+
+    from parasail_rs_tpu.engine import Aligner, Profile
+    from parasail_rs_tpu.matrices import Matrix
+
+    rng = np.random.default_rng(23)
+    aa = list(b"ARNDCQEGHILKMFPSTWYV")
+    q = rng.choice(aa, size=48).astype("uint8").tobytes()
+    refs = [rng.choice(aa, size=rng.integers(20, 400)).astype("uint8")
+            .tobytes() for _ in range(40)]
+    blosum = Matrix.from_name("blosum62")
+    prof = Profile.new(q, False, blosum)
+    pa = (Aligner.new().profile(prof).gap_open(11).gap_extend(1)
+          .local().scan().build())
+    many = pa.align_many(None, refs)
+    for i in (0, 7, 19, 39):
+        one = pa.align(None, refs[i])
+        assert many[i].get_score() == one.get_score()
+        assert many[i].get_end_ref() == one.get_end_ref()
+
+
+def test_streaming_interleaved_lifecycle():
+    """submit -> flush -> submit -> close keeps resolving correctly
+    through the grouped-launch/fused-drain fetch loop (r5)."""
+    import numpy as np
+
+    from parasail_rs_tpu.engine import Aligner
+    from parasail_rs_tpu.engine.stream import StreamingAligner
+    from parasail_rs_tpu.matrices import Matrix
+
+    rng = np.random.default_rng(29)
+    aa = list(b"ARNDCQEGHILKMFPSTWYV")
+    qs = [rng.choice(aa, size=rng.integers(20, 60)).astype("uint8")
+          .tobytes() for _ in range(90)]
+    rs = [rng.choice(aa, size=rng.integers(20, 60)).astype("uint8")
+          .tobytes() for _ in range(90)]
+    sw = (Aligner.new().matrix(Matrix.from_name("blosum62"))
+          .gap_open(11).gap_extend(1).local().build())
+    ref = [a.get_score() for a in sw.align_batch(qs, rs)]
+    st = StreamingAligner(sw, flush_size=16)
+    try:
+        h1 = st.submit_many(qs[:40], rs[:40])
+        st.flush()
+        assert [h.result().get_score() for h in h1] == ref[:40]
+        h2 = st.submit_many(qs[40:], rs[40:])
+        st.flush()
+        assert [h.result().get_score() for h in h2] == ref[40:]
+    finally:
+        st.close()
+    # close() after full drain: handles stay resolved
+    assert h2[-1].done()
