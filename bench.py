@@ -4,15 +4,18 @@ Matches BASELINE.json config 2/3 (local affine-gap SW, protein-sized
 alphabet, large pair batch) and the north-star metric "150bp SW
 alignments/sec/chip".  The timed region is the device-resident production
 hot loop — the Pallas prefix-scan kernel on TPU (XLA wavefront path on
-other backends) over an 8192-pair batch, timed as fused x8 chains (N
-data-dependent kernel calls inside ONE jit) so the number holds zero
-per-dispatch host/tunnel overhead.
+other backends) over an 8192-pair batch, timed as ROLL-CHAIN
+DIFFERENTIALS: N kernel calls inside one jit with the reference plane
+rolled between steps (CSE-proof), walls taken at two chain lengths, and
+per-kernel time = (wall_2N - wall_N)/N — the tunnel's fixed RTT term
+cancels exactly (see the chain comment in _run_tpu for why a chain of
+identical calls is NOT a valid timing region).
 
 Robustness contract (the dev-tunnel TPU wedges unpredictably — the
-process's FIRST device->host transfer can stall 10-310 s before the
-channel recovers; measured 2026-08-20, four samples: 13/19/65/310 s):
+process's FIRST device->host transfer can stall 2-1155 s before the
+channel recovers; seven samples measured 2026-08-20):
 
-  1. The fused chain takes every device array as a jit ARGUMENT (a
+  1. The chain takes every device array as a jit ARGUMENT (a
      closure-captured device array becomes a 131 MB embedded constant:
      109 MB executables, unstable cache keys, 30-180 s compiles —
      measured and fixed 2026-08-20).  Compile is ~1-2 s warm via the
@@ -545,9 +548,12 @@ def _run_tpu(scratch):
     if res["windows"] and time.time() < deadline - 30:
         res["e2e"] = {}
         per_call, _m, _med, _s = _window_estimate(res["windows"], B)
+        trace_ms8k = (8192e3 / res["trace_aln_per_sec"]
+                      if res.get("trace_aln_per_sec") else None)
         _secondary_configs(True, res["e2e"],
                            lambda: _write_json(scratch, res), deadline,
                            kernel_ms8k=per_call * 1e3,
+                           trace_ms8k=trace_ms8k,
                            tunnel=res.get("tunnel"))
     res["final"] = True
     if res["windows"]:
@@ -816,7 +822,7 @@ def _model_d2h_ms(nbytes, tunnel):
 
 
 def _secondary_configs(on_tpu, out, checkpoint, deadline,
-                       kernel_ms8k=None, tunnel=None):
+                       kernel_ms8k=None, trace_ms8k=None, tunnel=None):
     """BASELINE.json configs 1-7, ordered so the round-target configs
     (cfg7 streaming, cfg4b CIGAR serving, cfg5 mixed, cfg1 latency) land
     first if a wedge or the watchdog cuts the sweep short.  Results land
@@ -892,6 +898,22 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
         if kernel_ms8k is None:
             return None
         dev_ms = kernel_ms8k * padded_cells / (8192 * 160 * 160)
+        return host_ms + dev_ms + _model_d2h_ms(payload_bytes, tunnel)
+
+    # device walk cost: ~10 us/pair at 160x160 (chunk probes 2026-08-20:
+    # ~41 ms / 4096 pairs) — the dominant device term of align_cigars
+    # on a direct-attach chip, previously hidden in an asserted 2.0x
+    # kernel factor (ADVICE r4)
+    WALK_MS_PER_PAIR = 0.010
+
+    def project_cigars(host_ms, pairs, padded_cells, payload_bytes):
+        """align_cigars direct-attach projection: measured host stages
+        + trace-kernel differential scaled by padded cells + the
+        measured per-pair device-walk cost + modeled d2h."""
+        if trace_ms8k is None:
+            return None
+        dev_ms = (trace_ms8k * padded_cells / (8192 * 160 * 160)
+                  + WALK_MS_PER_PAIR * pairs)
         return host_ms + dev_ms + _model_d2h_ms(payload_bytes, tunnel)
 
     try:
@@ -974,6 +996,13 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
             out["cfg4b_pairs"] = n4b
             out["cfg4b_spread"] = spread
             out["cfg4b_reps"] = k
+            host4b = sum(v for kk, v in out["cfg4b_stages_ms"].items()
+                         if kk != "fetch")
+            pay4b = n4b * (160 + 160) // 2 + n4b * 8 * 4
+            proj4b = project_cigars(host4b, n4b, n4b * 160 * 160, pay4b)
+            if proj4b is not None:
+                out["cfg4b_projected_direct_attach_cigars_per_sec"] = \
+                    round(n4b / (proj4b / 1e3))
             checkpoint()
             print(f"[bench] cfg4b amortized CIGARs {n4b} pairs: "
                   f"{dt*1e3:.0f} ms ({n4b/dt:.0f} CIGARs/s e2e) "
@@ -1100,7 +1129,7 @@ def _secondary_configs(on_tpu, out, checkpoint, deadline,
         host4 = sum(v for k, v in snap4.items() if k != "fetch")
         # trace+walk payload: nibble-packed opcodes + packed scalars
         pay4 = n4 * (160 + 160) // 2 + n4 * 8 * 4
-        proj4 = project(host4, n4 * 160 * 160 * 2, pay4)
+        proj4 = project_cigars(host4, n4, n4 * 160 * 160, pay4)
         if proj4 is not None:
             out["cfg4_projected_direct_attach_cigars_per_sec"] = round(
                 n4 / (proj4 / 1e3))
