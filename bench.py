@@ -658,7 +658,11 @@ def _stats_kernel_windows(res, scratch, profile, ridx, qlen, rlen, B,
                     profile, ridx, qlen, rlen, qidx, n, outputs)).sum())
                 return time.time() - t0
 
-            walls[n].append(_with_timeout(win, WINDOW_TIMEOUT))
+            try:
+                walls[n].append(_with_timeout(win, WINDOW_TIMEOUT))
+            except Exception as e:  # noqa: BLE001 — keep collected walls
+                print(f"[bench] {outputs} window x{n} failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
         if walls[NCH] and walls[2 * NCH]:
             m1, m2 = (float(np.median(walls[NCH])),
                       float(np.median(walls[2 * NCH])))

@@ -225,16 +225,17 @@ class AlignerBuilder:
             width=self._solution_width,
         )
         matrix = profile.matrix if has_profile else self._matrix
-        if outputs in ("stats", "stats_table", "stats_rowcol"):
-            # stats at gap_open <= gap_extend may route through the
-            # native host walker (dispatch.plan_route "stream_walk"),
-            # whose first _load() compiles the C++ extension; warm it
-            # off-thread at build time so no align() call pays the
-            # compile inline (walker._load is lock-guarded + cached)
-            from ..native import walker
+        # The native C++ walker serves several first-call paths: the
+        # stream_walk stats route (plan_route), Aligner.cigars, and the
+        # run-length encoder behind align_cigars (walker.rle_ops).  Its
+        # first _load() compiles the extension (a g++ subprocess); warm
+        # it off-thread at build time so no align/align_cigars call
+        # pays the compile inline (walker._load is lock-guarded +
+        # cached, so concurrent builds cost one thread spawn).
+        from ..native import walker
 
-            threading.Thread(target=walker._load, daemon=True,
-                             name="parasail-walker-warm").start()
+        threading.Thread(target=walker._load, daemon=True,
+                         name="parasail-walker-warm").start()
         return Aligner(
             key=key,
             matrix=matrix,
@@ -599,13 +600,10 @@ class Aligner:
         CH = self._CIGAR_CHUNK
         spans = ([slice(0, n)] if n <= CH else
                  [slice(i, min(i + CH, n)) for i in range(0, n, CH)])
-        packed = []
-        for sl in spans:
-            batch, qlens, rlens = self._pack(
-                None if queries is None else queries[sl], refs[sl],
-                Qp=Qp, Rp=Rp)
-            packed.append((sl, batch, qlens, rlens))
-        batch0 = packed[0][1]
+        sl0 = spans[0]
+        batch0, qlens0, rlens0 = self._pack(
+            None if queries is None else queries[sl0], refs[sl0],
+            Qp=Qp, Rp=Rp)
         route, _ = dispatch.plan_route(batch0, "trace", self.gap_open,
                                        self.gap_extend)
         if (batch0.qp + batch0.rp > dispatch.WAVEFRONT_TPU_MAX_SPAN
@@ -614,23 +612,32 @@ class Aligner:
             # fallbacks); the trace-class alignments are internal — the
             # returned objects are score-class like the device path's,
             # so the documented contract (is_trace() False, no plane
-            # retained) holds on every route
+            # retained) holds on every route.  UNCHUNKED: the chunk
+            # pipeline only pays off for the device enqueue/fetch path;
+            # here each chunk would be a serial blocking execute, N
+            # fixed round-trips where one suffices.
             import dataclasses
 
             tr = Aligner(key=dataclasses.replace(res_key, outputs="trace"),
                          matrix=self.matrix, gap_open=self.gap_open,
                          gap_extend=self.gap_extend, profile=self.profile,
                          bandwidth=None)
-            alns_all, cigs_all = [], []
-            for sl, batch, qlens, rlens in packed:
-                out = tr._execute(batch)
-                tmp = tr._alignments_from(out, qlens, rlens)
-                cigs_all.extend(tr.cigars(tmp, qseqs[sl], refs[sl]))
-                clean = {k: v for k, v in out.items()
-                         if k != "trace_table"}
-                alns_all.extend(res_al._alignments_from(
-                    clean, qlens, rlens))
-            return alns_all, cigs_all
+            if len(spans) == 1:
+                batch, qlens, rlens = batch0, qlens0, rlens0
+            else:
+                batch, qlens, rlens = self._pack(queries, refs,
+                                                 Qp=Qp, Rp=Rp)
+            out = tr._execute(batch)
+            tmp = tr._alignments_from(out, qlens, rlens)
+            cigs = tr.cigars(tmp, qseqs, refs)
+            clean = {k: v for k, v in out.items() if k != "trace_table"}
+            return res_al._alignments_from(clean, qlens, rlens), cigs
+        packed = [(sl0, batch0, qlens0, rlens0)]
+        for sl in spans[1:]:
+            batch, qlens, rlens = self._pack(
+                None if queries is None else queries[sl], refs[sl],
+                Qp=Qp, Rp=Rp)
+            packed.append((sl, batch, qlens, rlens))
         qseq = None if self.profile.is_null else self.profile.query
         states = [(qlens, rlens, batch,
                    self._device_trace_walk_enqueue(batch, qseq=qseq))

@@ -149,9 +149,9 @@ def commit_batches(batches: list["PairBatch"]) -> None:
                 host.append((b, attr, v))
     if not host:
         return
-    if len(host) <= 2:
-        for b in {id(b): b for b, _, _ in host}.values():
-            b.to_device()
+    if len({id(b) for b, _, _ in host}) == 1:
+        # a single batch: to_device() already concatenates its planes
+        host[0][0].to_device()
         return
     flat = np.concatenate([v.reshape(-1) for _, _, v in host])
     dev = jax.device_put(flat)

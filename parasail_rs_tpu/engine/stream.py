@@ -273,16 +273,17 @@ class StreamingAligner:
             # RTT instead of two (~2x on cfg7's fetch stage); with a
             # single in-flight bucket this never delays its fetch.
             items = [item]
-            t_wait = time.monotonic()
             while len(items) < 16:
+                # submit_many/flush dispatch whole bucket groups under
+                # the stream lock, so by the time this thread acquires
+                # it every bucket of the burst is already counted in
+                # _undelivered — no time-based wait is needed, and a
+                # lone in-flight bucket is never delayed (a partial
+                # bucket still accumulating on the submit side must NOT
+                # hold this fetch hostage: it may never dispatch)
                 with self._lock:
                     more = self._undelivered > len(items)
-                    # a bucket still accumulating on the submit thread
-                    # will dispatch within ~ms; waiting ≤50 ms for it
-                    # beats paying it a separate fetch RTT (~30-65 ms)
-                    filling = any(b.size for b in self._buckets.values())
-                if not more and not (filling
-                                     and time.monotonic() - t_wait < 0.05):
+                if not more:
                     break
                 try:
                     nxt = self._queue.get(timeout=0.01)

@@ -91,14 +91,16 @@ def bench(outputs, B=8192, L=150, Qp=160, Rp=160, A=25):
 
     NCH = 8
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def chained(ql, n):
-        rix = ridx
+    # device arrays enter as jit ARGUMENTS — closure capture would embed
+    # the (B,Qp,A) profile as a ~131 MB constant (unstable cache key,
+    # 30-180 s compiles; same pathology bench.py fixed 2026-08-20)
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def chained(prof, rix, ql, rl, qix, n):
         acc = None
         for _ in range(n):
             out = scan_score_align(
-                profile, rix, ql, rlen,
-                qidx if outputs == "stats" else None,
+                prof, rix, ql, rl,
+                qix if outputs == "stats" else None,
                 open_=np.int32(11), ext=np.int32(1),
                 mode="sw", free=(True,) * 4, width="sat", outputs=outputs,
                 interpret=False, hmax_bound=hb)
@@ -110,16 +112,18 @@ def bench(outputs, B=8192, L=150, Qp=160, Rp=160, A=25):
     fused_ms = None
     try:
         t0 = time.time()
-        with_timeout(lambda: jax.block_until_ready(chained(qlen, NCH)), 300)
         with_timeout(lambda: jax.block_until_ready(
-            chained(qlen, 2 * NCH)), 300)
+            chained(profile, ridx, qlen, rlen, qidx, NCH)), 300)
+        with_timeout(lambda: jax.block_until_ready(
+            chained(profile, ridx, qlen, rlen, qidx, 2 * NCH)), 300)
         print(f"[{outputs}] roll-chain compile+first={time.time()-t0:.1f}s",
               flush=True)
         walls = {NCH: [], 2 * NCH: []}
         for n in (NCH, 2 * NCH) * 3:
             def win(n=n):
                 t0 = time.time()
-                float(np.asarray(chained(qlen, n)).sum())
+                float(np.asarray(chained(
+                    profile, ridx, qlen, rlen, qidx, n)).sum())
                 return time.time() - t0
             try:
                 walls[n].append(with_timeout(win, 120))

@@ -69,10 +69,12 @@ def main():
     jax.block_until_ready([batch.qbytes, batch.rbytes])
 
     def kern():
+        # pallas packed form required (TPU route); guard for clarity
         pend = dispatch.execute(
             batch, gap_open=tr.gap_open, gap_extend=tr.gap_extend,
             mode=tr.key.mode, free=tr.key.free, outputs="trace",
             width=tr.key.width, fetch=False)
+        assert pend._packed is not None, "probe needs the pallas route (TPU backend)"
         return pend._packed
 
     k = t(lambda: jax.block_until_ready(kern()[1]), reps=3)
