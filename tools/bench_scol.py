@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Time the scol (substitution-column tensor) build variants on TPU.
 
+CAVEAT (r5): uses identical-call chains — see the CSE note in
+tools/perf_lab.py; A/B orderings valid, absolute magnitudes 1/N-scaled.
+
 The scan kernel's input prep — one-hot matmul + lanes-last transpose —
 showed up as ~2 ms of the 6 ms headline batch (tools/perf_lab.py full
 vs base).  This times each stage and candidate reformulations:

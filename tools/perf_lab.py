@@ -1,6 +1,15 @@
 #!/usr/bin/env python
 """Ablation lab for the scan kernel's per-column cost (dev-only tool).
 
+CAVEAT (2026-08-20, round 5): the chained timing loops in this lab link
+IDENTICAL kernel calls with `(out & 0)`-style data dependencies.  XLA
+CSE collapses such chains to ONE kernel, so the per-call magnitudes
+printed here are really (fixed overhead + 1 kernel)/N.  A/B ORDERINGS
+remain valid (both arms collapse the same way); absolute numbers do
+not.  For honest per-kernel magnitudes use the roll-chain differential
+(tools/bench_kernel.py, bench.py): perturb an input per step (e.g.
+`jnp.roll(ridx, 1, axis=0)`) and difference two chain lengths.
+
 Times stripped-down variants of the score sweep to locate where the
 per-column slab ops go and what int16 packing would buy:
 
