@@ -221,6 +221,12 @@ def main():
             sys.exit(1)
         counts[fn.__name__] = counts.get(fn.__name__, 0) + 1
         it += 1
+        if it % 25 == 0:
+            # the jax 0.9.0 CPU backend segfaults inside LLVM past ~1000
+            # distinct in-process compiles (see tests/conftest.py);
+            # random configs compile fresh programs constantly, so drop
+            # executables aggressively — recompiles are the fuzz cost
+            jax.clear_caches()
         if it % 50 == 0:
             print(f"[fuzz] {it} iterations, "
                   f"{(deadline - time.time())/60:.0f} min left: {counts}",
