@@ -194,8 +194,73 @@ def check_widths(rng):
     return f"widths {mode} o{open_} e{ext} n={n}"
 
 
+def check_rowcol(rng):
+    m, alpha = rand_matrix(rng)
+    setter, mode = MODES[rng.integers(0, 3)]
+    open_, ext = int(rng.integers(0, 10)), int(rng.integers(0, 6))
+    q, = rand_seqs(rng, alpha, 1, 1, 40)
+    r, = rand_seqs(rng, alpha, 1, 1, 40)
+    b = Aligner.new().matrix(m).gap_open(open_).gap_extend(ext)
+    getattr(b, setter)()
+    b.use_last_rowcol()
+    res = b.build().align(q, r)
+    g = golden.align_seqs(q, r, m, open_, ext, mode)
+    assert np.array_equal(np.asarray(res.get_score_row()), g.score_row), (
+        "row", mode, open_, ext, q, r)
+    assert np.array_equal(np.asarray(res.get_score_col()), g.score_col), (
+        "col", mode, open_, ext, q, r)
+    return f"rowcol {mode} o{open_} e{ext}"
+
+
+def check_banded(rng):
+    m, alpha = rand_matrix(rng)
+    open_, ext = int(rng.integers(0, 10)), int(rng.integers(0, 6))
+    n = int(rng.integers(1, 10))
+    qs, rs = rand_seqs(rng, alpha, n, 1, 40), rand_seqs(rng, alpha, n, 1, 40)
+    bw = max(max(len(x) for x in qs), max(len(x) for x in rs))
+    # full-width band == exact NW (the reference's documented property)
+    al = (Aligner.new().matrix(m).gap_open(open_).gap_extend(ext)
+          .bandwidth(bw).build())
+    banded = al.banded_nw_batch(qs, rs)
+    for q, r, res in zip(qs, rs, banded):
+        g = golden.align_seqs(q, r, m, open_, ext, "nw")
+        assert res.get_score() == g.score, ("banded-full", open_, ext,
+                                            bw, q, r)
+    # narrow band: batch path must equal the per-pair path
+    al2 = (Aligner.new().matrix(m).gap_open(open_).gap_extend(ext)
+           .bandwidth(int(rng.integers(1, 8))).build())
+    got = al2.banded_nw_batch(qs, rs)
+    for i in map(int, rng.choice(n, min(n, 3), replace=False)):
+        one = al2.banded_nw(qs[i], rs[i])
+        assert got[i].get_score() == one.get_score(), ("banded-batch", i)
+    return f"banded o{open_} e{ext} n={n}"
+
+
+def check_profile(rng):
+    m, alpha = rand_matrix(rng)
+    setter, mode = MODES[rng.integers(0, 3)]
+    open_, ext = int(rng.integers(0, 12)), int(rng.integers(1, 6))
+    q, = rand_seqs(rng, alpha, 1, 2, 40)
+    n = int(rng.integers(1, 15))
+    refs = rand_seqs(rng, alpha, n, 1, 60)
+    stats = bool(rng.integers(0, 2))
+    prof = Profile.new(q, stats, m)
+    b = Aligner.new().profile(prof).gap_open(open_).gap_extend(ext)
+    getattr(b, setter)()
+    al = b.build()
+    gfree = golden.free_flags(mode)
+    for r, res in zip(refs, al.align_batch(None, refs)):
+        g = golden.align_seqs(q, r, m, open_, ext, mode, free=gfree)
+        assert res.get_score() == g.score, ("prof", mode, open_, ext,
+                                            q, r)
+        if stats:
+            assert res.get_matches() == g.matches, ("prof-m", mode, q, r)
+    return f"profile {mode} o{open_} e{ext} stats={stats} n={n}"
+
+
 CHECKS = [check_scalars, check_cigars, check_many, check_stream,
-          check_tables, check_widths]
+          check_tables, check_widths, check_rowcol, check_banded,
+          check_profile]
 
 
 def main():
